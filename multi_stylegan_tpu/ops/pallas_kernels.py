@@ -1,0 +1,177 @@
+"""Hand-written Pallas TPU kernels.
+
+These are drop-in replacements for the XLA implementations in
+``ops/fused_act.py`` and ``ops/upfirdn2d.py``, mirroring the role of the
+reference's two CUDA extensions (reference multi_stylegan/op_static/).  The
+XLA paths remain the default; these kernels are selected with
+``impl='pallas'`` or the per-op ``set_default_impl``.
+
+Gradient structure mirrors the reference autograd Functions
+(op_static/fused_act.py:22-73): the backward pass recomputes the activation
+mask from the *forward output's sign*, and is itself wrapped in a custom VJP
+so grad-of-grad (R1 / path-length regularization) works.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row tile for the elementwise kernels.
+_ROW_TILE = 256
+
+
+def _pad_rows(x2d: jax.Array, tile: int) -> Tuple[jax.Array, int]:
+    m = x2d.shape[0]
+    pad = (-m) % tile
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    return x2d, m
+
+
+def _elementwise_call(kernel, x2d: jax.Array, *extra: jax.Array) -> jax.Array:
+    """Launch an elementwise row-tiled kernel over a [M, C] array."""
+    xp, m = _pad_rows(x2d, _ROW_TILE)
+    c = xp.shape[1]
+    grid = (xp.shape[0] // _ROW_TILE,)
+    in_specs = [
+        pl.BlockSpec((_ROW_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    padded_extra = []
+    for e in extra:
+        assert e.ndim == 2 and (e.shape[0] in (1, m)), e.shape
+        if e.shape[0] == 1:
+            in_specs.append(
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            padded_extra.append(e)
+        else:
+            ep, _ = _pad_rows(e, _ROW_TILE)
+            in_specs.append(
+                pl.BlockSpec((_ROW_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+            padded_extra.append(ep)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (_ROW_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(xp, *padded_extra)
+    return out[:m]
+
+
+def _to_2d(x: jax.Array, axis: int) -> Tuple[jax.Array, Tuple[int, ...], int]:
+    """Move channel axis last and flatten everything else to rows."""
+    axis = axis % x.ndim
+    if axis != x.ndim - 1:
+        x = jnp.moveaxis(x, axis, -1)
+    shape = x.shape
+    return x.reshape(-1, shape[-1]), shape, axis
+
+
+def _from_2d(y2d: jax.Array, shape: Tuple[int, ...], axis: int, ndim: int) -> jax.Array:
+    y = y2d.reshape(shape)
+    if axis != ndim - 1:
+        y = jnp.moveaxis(y, -1, axis)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# fused bias + leaky ReLU + scale
+# ---------------------------------------------------------------------------
+
+
+def _flr_fwd_kernel(negative_slope, scale, x_ref, b_ref, o_ref):
+    y = x_ref[:] + b_ref[:]
+    o_ref[:] = jnp.where(y >= 0, y, y * negative_slope) * scale
+
+
+def _flr_grad_kernel(negative_slope, scale, g_ref, out_ref, o_ref):
+    # Mask from the *forward output* sign, as the reference CUDA grad does
+    # (fused_bias_act_kernel.cu:36-45, case 31).
+    o_ref[:] = jnp.where(out_ref[:] >= 0, g_ref[:], g_ref[:] * negative_slope) * scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _flr_grad_from_out(g: jax.Array, out: jax.Array, negative_slope: float, scale: float):
+    """dL/dx given upstream grad and forward output (both [M, C])."""
+    return _elementwise_call(
+        functools.partial(_flr_grad_kernel, negative_slope, scale), g, out
+    )
+
+
+def _flr_grad_fwd(g, out, negative_slope, scale):
+    return _flr_grad_from_out(g, out, negative_slope, scale), out
+
+
+def _flr_grad_bwd(negative_slope, scale, out, gg):
+    # d/dg is the same masked scaling; d/dout is zero a.e. (the mask is
+    # piecewise constant), matching FusedLeakyReLUFunctionBackward.backward
+    # (op_static/fused_act.py:44-51).
+    return (_flr_grad_from_out(gg, out, negative_slope, scale), jnp.zeros_like(out))
+
+
+_flr_grad_from_out.defvjp(_flr_grad_fwd, _flr_grad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _flr_2d(x: jax.Array, bias_row: jax.Array, negative_slope: float, scale: float):
+    """Fused leaky ReLU over [M, C] with bias [1, C]."""
+    return _elementwise_call(
+        functools.partial(_flr_fwd_kernel, negative_slope, scale), x, bias_row
+    )
+
+
+def _flr_2d_fwd(x, bias_row, negative_slope, scale):
+    out = _flr_2d(x, bias_row, negative_slope, scale)
+    return out, out
+
+
+def _flr_2d_bwd(negative_slope, scale, out, g):
+    gi = _flr_grad_from_out(g, out, negative_slope, scale)
+    gb = jnp.sum(gi, axis=0, keepdims=True)
+    return gi, gb
+
+
+_flr_2d.defvjp(_flr_2d_fwd, _flr_2d_bwd)
+
+
+def fused_leaky_relu_pallas(
+    x: jax.Array,
+    bias: Optional[jax.Array] = None,
+    negative_slope: float = 0.2,
+    scale: float = math.sqrt(2.0),
+    axis: int = -1,
+) -> jax.Array:
+    x2d, shape, axis_ = _to_2d(x, axis)
+    c = x2d.shape[1]
+    if bias is None:
+        bias_row = jnp.zeros((1, c), x2d.dtype)
+    else:
+        bias_row = bias.reshape(1, c).astype(x2d.dtype)
+    y2d = _flr_2d(x2d, bias_row, float(negative_slope), float(scale))
+    return _from_2d(y2d, shape, axis_, x.ndim)
+
+
+# ---------------------------------------------------------------------------
+# upfirdn2d stencil kernel (up in {1, 2}, down == 1) - see perf notes in
+# ops/upfirdn2d.py.  Implemented in the performance pass; the dispatcher
+# falls back to XLA while this is unavailable.
+# ---------------------------------------------------------------------------
+
+HAS_PALLAS_UPFIRDN = False
+
+
+def upfirdn2d_pallas(x, kernel, up: int, pad: Tuple[int, int, int, int]):
+    raise NotImplementedError(
+        "pallas upfirdn2d lands with the performance pass; use impl='xla'"
+    )
