@@ -1,0 +1,62 @@
+"""SAGAN-style non-local (self-attention) block, NHWC.
+
+Reference: reference multi_stylegan/u_net_2d_discriminator.py:335-381.
+theta/phi/g are 1x1 equalized convs; phi and g are 2x max-pooled; softmax
+attention over spatial positions; learnable gamma (init 0) gates the
+attention path; residual divided by sqrt(2).
+
+The matmuls are expressed as einsums so XLA maps them straight onto the MXU
+(the only attention in the system - 4096 x 1024 at the 64x64 placement).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multi_stylegan_tpu.nn.equalized import EqualizedConv2d
+
+
+def _max_pool_2x(x: jax.Array) -> jax.Array:
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class NonLocalBlock(nn.Module):
+    out_channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, cin = x.shape
+        co = self.out_channels
+        theta = EqualizedConv2d(co // 8, kernel_size=1, padding=0, use_bias=False,
+                                dtype=self.dtype, name="theta")(x)
+        phi = _max_pool_2x(
+            EqualizedConv2d(co // 8, kernel_size=1, padding=0, use_bias=False,
+                            dtype=self.dtype, name="phi")(x))
+        g = _max_pool_2x(
+            EqualizedConv2d(co // 2, kernel_size=1, padding=0, use_bias=False,
+                            dtype=self.dtype, name="g")(x))
+        theta = theta.reshape(b, h * w, co // 8)
+        phi = phi.reshape(b, (h // 2) * (w // 2), co // 8)
+        g = g.reshape(b, (h // 2) * (w // 2), co // 2)
+        # [B, HW, HW/4] attention over pooled positions.
+        logits = jnp.einsum("bnc,bmc->bnm", theta, phi,
+                            preferred_element_type=jnp.float32)
+        beta = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attended = jnp.einsum("bnm,bmc->bnc", beta, g,
+                              preferred_element_type=jnp.float32).astype(x.dtype)
+        attended = attended.reshape(b, h, w, co // 2)
+        o = EqualizedConv2d(co, kernel_size=1, padding=0, use_bias=False,
+                            dtype=self.dtype, name="o")(attended)
+        gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
+        if cin != co:
+            res = EqualizedConv2d(co, kernel_size=1, padding=0, use_bias=False,
+                                  dtype=self.dtype, name="residual")(x)
+        else:
+            res = x
+        return (gamma.astype(x.dtype) * o + res) / math.sqrt(2.0)

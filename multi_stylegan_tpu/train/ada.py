@@ -1,0 +1,231 @@
+"""Adaptive discriminator augmentation (ADA), pure JAX and fully on-device.
+
+Reference: reference multi_stylegan/adaptive_discriminator_augmentation.py.
+The reference wraps the discriminator in an nn.Module holding host-side
+python floats ``p`` / list ``r`` and uses kornia for the differentiable
+affine warps.  Here:
+
+* the controller state (p, r accumulator) is a device-resident pytree carried
+  through the jitted train step - no host sync per batch;
+* the augmentation pipeline is pure jnp (an explicit bilinear resampler with
+  reflect/zeros padding), differentiable w.r.t. the images so generator
+  gradients flow through augmented fakes exactly as in the reference;
+* per-image Bernoulli gates become ``jnp.where`` selects (fixed shapes).
+
+Pipeline order and parameter distributions follow ada.py:108-200 exactly:
+horizontal flip -> 90-degree-multiple rotation (one angle per batch) ->
+integer circular translation (one shift per batch, +-12.5%) -> isotropic
+log-normal scaling -> arbitrary rotation (prob 1-sqrt(1-p)) -> anisotropic
+log-normal scaling -> arbitrary rotation again.  The affine warps use
+bilinear sampling, align_corners=True coordinates, reflection padding
+(kornia flags at ada.py:145-147: resample=1, padding_mode=2); the 90-degree
+rotation uses zeros padding (kornia ``rotate`` default).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+# std of the underlying normal for the log-normal scale jitter (ada.py:141)
+_LOGNORMAL_SIGMA = (0.2 * math.log(2.0)) ** 2
+
+
+@flax.struct.dataclass
+class AdaState:
+    """Device-resident controller state (ada.py:36-39, minus the host-side
+    r_history which becomes a logged metric)."""
+
+    p: jax.Array  # current augmentation probability
+    r_sum: jax.Array  # accumulated overfitting heuristic
+    r_count: jax.Array  # number of fake batches accumulated
+    last_r: jax.Array  # last computed r mean (for logging)
+
+    @classmethod
+    def create(cls, p_init: float = 0.05) -> "AdaState":
+        return cls(
+            p=jnp.asarray(p_init, jnp.float32),
+            r_sum=jnp.asarray(0.0, jnp.float32),
+            r_count=jnp.asarray(0, jnp.int32),
+            last_r=jnp.asarray(0.0, jnp.float32),
+        )
+
+
+def calc_r(prediction_scalar: jax.Array, prediction_pixel_wise: jax.Array) -> jax.Array:
+    """Overfitting heuristic r = 0.5 E[sign(D_s)] + 0.5 E[sign(mean D_p)]
+    (ada.py:43-52), computed on FAKE batches only."""
+    r1 = jnp.mean(jnp.sign(prediction_scalar))
+    r2 = jnp.mean(jnp.sign(jnp.mean(prediction_pixel_wise, axis=(-1, -2))))
+    return 0.5 * r1 + 0.5 * r2
+
+
+def update_ada_state(
+    state: AdaState,
+    r_value: jax.Array,
+    *,
+    r_target: float = 0.6,
+    p_step: float = 5e-3,
+    r_update: int = 8,
+    p_max: float = 0.8,
+) -> AdaState:
+    """Accumulate r; every ``r_update`` fake batches step p towards keeping
+    r at ``r_target`` and clamp to [0, p_max] (ada.py:80-95)."""
+    r_sum = state.r_sum + r_value
+    r_count = state.r_count + 1
+    trigger = r_count >= r_update
+    r_mean = r_sum / jnp.maximum(r_count, 1).astype(jnp.float32)
+    p_new = jnp.where(r_mean > r_target, state.p + p_step, state.p - p_step)
+    p_new = jnp.clip(p_new, 0.0, p_max)
+    return AdaState(
+        p=jnp.where(trigger, p_new, state.p),
+        r_sum=jnp.where(trigger, 0.0, r_sum),
+        r_count=jnp.where(trigger, 0, r_count),
+        last_r=jnp.where(trigger, r_mean, state.last_r),
+    )
+
+
+# ---------------------------------------------------------------------------
+# differentiable affine resampler
+# ---------------------------------------------------------------------------
+
+
+def _reflect_index(idx: jax.Array, n: int) -> jax.Array:
+    """Reflect continuous indices into [0, n-1] (align_corners=True style:
+    mirror about 0 and n-1 without repeating the edge sample)."""
+    if n == 1:
+        return jnp.zeros_like(idx)
+    period = 2 * (n - 1)
+    m = jnp.mod(idx, period)
+    return jnp.where(m > n - 1, period - m, m)
+
+
+def _bilinear_gather(images: jax.Array, sx: jax.Array, sy: jax.Array,
+                     padding: str) -> jax.Array:
+    """Sample images [B,H,W,C] at float source coords sx/sy [B,H,W]."""
+    b, h, w, c = images.shape
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    tx = (sx - x0)[..., None]
+    ty = (sy - y0)[..., None]
+
+    def gather(yi, xi):
+        if padding == "reflect":
+            yi_c = _reflect_index(yi, h).astype(jnp.int32)
+            xi_c = _reflect_index(xi, w).astype(jnp.int32)
+        else:  # zeros
+            yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        # single flattened gather: out[b,i,j,c] = images[b, yi[b,i,j], xi[b,i,j], c]
+        flat = images.reshape(b, h * w, c)
+        lin = (yi_c * w + xi_c).reshape(b, h * w)[..., None]
+        vals = jnp.take_along_axis(flat, lin, axis=1, mode="clip").reshape(b, h, w, c)
+        if padding == "zeros":
+            inb = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            vals = vals * inb[..., None].astype(vals.dtype)
+        return vals
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def apply_affine(
+    images: jax.Array,
+    angle_deg: jax.Array,
+    scale_xy: jax.Array,
+    padding: str = "reflect",
+) -> jax.Array:
+    """Rotate by ``angle_deg`` [B] and scale by ``scale_xy`` [B, 2] about the
+    image center (0.5 * extent, matching ada.py:137-138), bilinear sampling.
+
+    scale > 1 zooms in.  Differentiable w.r.t. ``images`` (the generator
+    gradient path) and the continuous parameters.
+    """
+    b, h, w, _ = images.shape
+    cy, cx = 0.5 * h, 0.5 * w
+    theta = jnp.deg2rad(angle_deg).astype(jnp.float32)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    inv_sx = 1.0 / scale_xy[:, 0]
+    inv_sy = 1.0 / scale_xy[:, 1]
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx = (xs - cx)[None]  # [1, H, W]
+    dy = (ys - cy)[None]
+    # inverse map: rotate by -theta, then unscale
+    rx = cos[:, None, None] * dx + sin[:, None, None] * dy
+    ry = -sin[:, None, None] * dx + cos[:, None, None] * dy
+    sxc = cx + rx * inv_sx[:, None, None]
+    syc = cy + ry * inv_sy[:, None, None]
+    return _bilinear_gather(images, sxc, syc, padding)
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+
+def augmentation_pipeline(rng: jax.Array, images: jax.Array, p: jax.Array) -> jax.Array:
+    """Apply the 7-stage ADA pipeline to [B, H, W, C_flat] images with
+    (traced) probability ``p`` (ada.py:108-200)."""
+    b, h, w, _ = images.shape
+    keys = jax.random.split(rng, 14)
+    ones2 = jnp.ones((b, 2), jnp.float32)
+
+    def gate(key, prob, augmented, current):
+        m = jax.random.bernoulli(key, prob, (b, 1, 1, 1))
+        return jnp.where(m, augmented, current)
+
+    # 1. horizontal flip (torch dims=(-1,) == width; ada.py:116-118)
+    images = gate(keys[0], p, jnp.flip(images, axis=2), images)
+
+    # 2. 90-degree-multiple rotation, ONE angle per batch (ada.py:120-125),
+    #    zeros padding (kornia rotate default).
+    angle_idx = jax.random.randint(keys[1], (), 0, 4)
+    angle = jnp.asarray([0.0, -90.0, 90.0, 180.0])[angle_idx]
+    rotated = apply_affine(images, jnp.full((b,), angle), ones2, padding="zeros")
+    images = gate(keys[2], p, rotated, images)
+
+    # 3. integer circular translation +-12.5%, one shift per batch
+    #    (ada.py:127-129, 203-213; torch.roll == circular).
+    max_h = max(1, int(0.125 * h))
+    max_w = max(1, int(0.125 * w))
+    sh = jax.random.randint(keys[3], (), -max_h, max_h + 1)
+    sw = jax.random.randint(keys[4], (), -max_w, max_w + 1)
+    translated = jnp.roll(images, (sh, sw), axis=(1, 2))
+    images = gate(keys[5], p, translated, images)
+
+    # 4. isotropic log-normal scaling, per image (ada.py:131-147)
+    s_iso = jnp.exp(jax.random.normal(keys[6], (b, 1)) * _LOGNORMAL_SIGMA)
+    scaled = apply_affine(images, jnp.zeros((b,)), jnp.tile(s_iso, (1, 2)))
+    images = gate(keys[7], p, scaled, images)
+
+    # 5. arbitrary rotation with prob 1 - sqrt(1 - p) (ada.py:148-164)
+    p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - p, 0.0, 1.0))
+    ang = jax.random.uniform(keys[8], (b,), minval=-180.0, maxval=180.0)
+    images = gate(keys[9], p_rot, apply_affine(images, ang, ones2), images)
+
+    # 6. anisotropic log-normal scaling, per image per axis (ada.py:165-182)
+    s_aniso = jnp.exp(jax.random.normal(keys[10], (b, 2)) * _LOGNORMAL_SIGMA)
+    images = gate(keys[11], p, apply_affine(images, jnp.zeros((b,)), s_aniso), images)
+
+    # 7. arbitrary rotation again (ada.py:183-199)
+    ang2 = jax.random.uniform(keys[12], (b,), minval=-180.0, maxval=180.0)
+    images = gate(keys[13], p_rot, apply_affine(images, ang2, ones2), images)
+    return images
+
+
+def augment_sequences(rng: jax.Array, images: jax.Array, p: jax.Array) -> jax.Array:
+    """ADA entry point for [B, C, T, H, W] sequences: flatten channel*time,
+    augment, restore (ada.py:66-72)."""
+    b, c, t, h, w = images.shape
+    flat = jnp.transpose(images.reshape(b, c * t, h, w), (0, 2, 3, 1))
+    flat = augmentation_pipeline(rng, flat, p)
+    return jnp.transpose(flat, (0, 3, 1, 2)).reshape(b, c, t, h, w)
