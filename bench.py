@@ -1,0 +1,101 @@
+"""Training-throughput benchmark on the flagship 256x256 config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Metric: 3-frame 2-channel sequences/sec/chip through the FULL fused train
+step (D step + ADA + lazy R1 + G step with top-k + lazy path-length + EMA),
+the BASELINE.json driver metric.  The reference publishes no runtime numbers
+(BASELINE.md): vs_baseline is reported against the previous round's value
+when BENCH_BASELINE.json exists, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def run_bench(batch_candidates=(24, 16, 8), steps: int = 24, warmup: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.models import Discriminator, Generator
+    from multi_stylegan_tpu.models.config import (
+        DiscriminatorConfig,
+        GeneratorConfig,
+        TrainingConfig,
+    )
+    from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
+
+    gcfg = GeneratorConfig()
+    dcfg = DiscriminatorConfig(no_rfp=True)
+    generator, discriminator = Generator(gcfg), Discriminator(dcfg)
+
+    last_err = None
+    for batch in batch_candidates:
+        try:
+            cfg = TrainingConfig(batch_size=batch)
+            state = create_train_state(
+                jax.random.key(0), generator, discriminator, cfg
+            )
+            step_fn = jax.jit(
+                make_train_step(
+                    generator, discriminator, cfg,
+                    top_k_start_iteration=10**6, top_k_final_iteration=10**6 + 1,
+                ),
+                donate_argnums=(0,),
+            )
+            flags = StepFlags.off()
+            data = jax.random.uniform(
+                jax.random.key(1), (batch, 2, 3, *gcfg.resolution)
+            )
+            for _ in range(warmup):
+                state, metrics = step_fn(state, data, flags)
+            jax.block_until_ready(metrics)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = step_fn(state, data, flags)
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
+            n_chips = jax.device_count()
+            return {
+                "batch": batch,
+                "seqs_per_sec_per_chip": batch * steps / dt / n_chips,
+                "step_ms": dt / steps * 1e3,
+                "n_chips": n_chips,
+                "backend": jax.default_backend(),
+            }
+        except Exception as exc:  # OOM at this batch: try smaller
+            last_err = exc
+            if "RESOURCE_EXHAUSTED" not in str(exc) and "OOM" not in str(exc):
+                raise
+    raise RuntimeError(f"all batch sizes failed: {last_err}")
+
+
+def main() -> None:
+    result = run_bench()
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            baseline = json.load(open("BENCH_BASELINE.json")).get("value")
+        except Exception:
+            baseline = None
+    value = result["seqs_per_sec_per_chip"]
+    print(
+        json.dumps(
+            {
+                "metric": "train_seqs_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "3-frame 2-channel seqs/sec/chip",
+                "vs_baseline": round(value / baseline, 3) if baseline else 1.0,
+                "batch": result["batch"],
+                "step_ms": round(result["step_ms"], 2),
+                "n_chips": result["n_chips"],
+                "backend": result["backend"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

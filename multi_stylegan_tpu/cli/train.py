@@ -1,0 +1,157 @@
+"""Training CLI - flag parity with reference train_multi_stylegan.py:4-28.
+
+Example:
+    python -m multi_stylegan_tpu.cli.train --path_to_data /data/tlfm \\
+        --batch_size 24 --epochs 100
+
+TPU-native replacements for the reference's CUDA flags:
+  --cuda_devices  -> --devices (number of mesh devices; default: all)
+  --data_parallel -> mesh data-parallelism is always available; a 1-device
+                     mesh is the degenerate case.
+Additional flags: --synthetic (fixture data), --tiny (32px debug config),
+--experiment_path, --seed, --compat_tower2_bug.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--devices", default=None, type=int,
+                        help="Number of devices in the data-parallel mesh (default: all).")
+    parser.add_argument("--batch_size", default=24, type=int,
+                        help="Batch size to be utilized while training.")
+    parser.add_argument("--epochs", default=100, type=int,
+                        help="Number of epochs to perform while training.")
+    parser.add_argument("--lr_generator", default=2e-04, type=float,
+                        help="Learning rate of the generator network.")
+    parser.add_argument("--lr_discriminator", default=6e-04, type=float,
+                        help="Learning rate of the discriminator network.")
+    parser.add_argument("--path_to_data", default="./60x_10BF_200GFP_200RFP20_3Z_10min",
+                        type=str, help="Path to dataset.")
+    parser.add_argument("--load_checkpoint", default="", type=str,
+                        help="Path to checkpoint to be loaded (orbax dir or reference .pt).")
+    parser.add_argument("--resume_training", default=False, action="store_true",
+                        help="Resume: enables cut-mix/wrong-order/trap regimes immediately.")
+    parser.add_argument("--no_top_k", default=False, action="store_true",
+                        help="Disable top-k training.")
+    parser.add_argument("--no_ada", default=False, action="store_true",
+                        help="Disable adaptive discriminator augmentation.")
+    parser.add_argument("--synthetic", default=False, action="store_true",
+                        help="Train on the synthetic fixture dataset (no data needed).")
+    parser.add_argument("--tiny", default=False, action="store_true",
+                        help="Use the 32px debug config.")
+    parser.add_argument("--experiment_path", default=None, type=str)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--compat_tower2_bug", default=False, action="store_true",
+                        help="Reproduce the reference's tower-2 output-block wiring.")
+    parser.add_argument("--no_validation_metrics", default=False, action="store_true",
+                        help="Skip FID/FVD/IS validation (e.g. without pretrained weights).")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from multi_stylegan_tpu.data import BatchLoader, SyntheticTLFMDataset, TLFMDataset
+    from multi_stylegan_tpu.io import Logger
+    from multi_stylegan_tpu.models import Discriminator, Generator
+    from multi_stylegan_tpu.models.config import (
+        DiscriminatorConfig,
+        GeneratorConfig,
+        TrainingConfig,
+        tiny_discriminator_config,
+        tiny_generator_config,
+    )
+    from multi_stylegan_tpu.parallel import make_mesh, batch_sharding
+    from multi_stylegan_tpu.train.loop import Trainer
+
+    if args.tiny:
+        gcfg = tiny_generator_config(compat_tower2_output_bug=args.compat_tower2_bug)
+        dcfg = tiny_discriminator_config()
+    else:
+        gcfg = GeneratorConfig(compat_tower2_output_bug=args.compat_tower2_bug)
+        dcfg = DiscriminatorConfig(no_rfp=True)
+
+    cfg = TrainingConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr_generator=args.lr_generator,
+        lr_discriminator=args.lr_discriminator,
+        top_k=not args.no_top_k,
+        ada=not args.no_ada,
+        resume_training=args.resume_training,
+        seed=args.seed,
+    )
+
+    print("Init models")
+    generator = Generator(gcfg)
+    discriminator = Discriminator(dcfg)
+
+    mesh = make_mesh(n_data=args.devices)
+    print(f"Mesh: {mesh}")
+
+    print("Init dataset")
+    if args.synthetic:
+        dataset = SyntheticTLFMDataset(
+            n_samples=max(64, args.batch_size * 4), resolution=gcfg.resolution
+        )
+    else:
+        dataset = TLFMDataset(path=args.path_to_data, no_rfp=True)
+    loader = BatchLoader(
+        dataset, batch_size=args.batch_size, seed=args.seed,
+        sharding=batch_sharding(mesh),
+    )
+    print(f"{len(dataset)} sequences, {len(loader)} steps/epoch")
+
+    logger = Logger(experiment_path=args.experiment_path)
+    logger.log_hyperparameter(hyperparameter_dict=vars(args))
+
+    metrics = ()
+    if not args.no_validation_metrics:
+        try:
+            from multi_stylegan_tpu.eval import FID, FVD, IS
+
+            metrics = (FID(), FVD(), IS())
+        except Exception as exc:  # pretrained weights unavailable
+            print(f"Validation metrics disabled: {exc}")
+
+    trainer = Trainer(
+        generator, discriminator, cfg,
+        training_dataset=loader, data_logger=logger,
+        validation_metrics=metrics, mesh=mesh, epochs=args.epochs,
+    )
+
+    if args.load_checkpoint:
+        if args.load_checkpoint.endswith(".pt"):
+            from multi_stylegan_tpu.io import convert_reference_checkpoint
+
+            converted = convert_reference_checkpoint(args.load_checkpoint, gcfg, dcfg)
+            import jax.numpy as jnp
+
+            self_state = trainer.state
+            trainer.state = self_state.replace(
+                g_params=jax.tree.map(jnp.asarray, converted["generator"]["params"]),
+                g_ema_params=jax.tree.map(
+                    jnp.asarray, converted["generator_ema"]["params"]
+                ),
+                g_noises=jax.tree.map(jnp.asarray, converted["generator"]["noises"]),
+                d_params=jax.tree.map(
+                    jnp.asarray, converted["discriminator"]["params"]
+                ),
+            )
+            print("Loaded reference .pt checkpoint (optimizer state reset)")
+        else:
+            trainer.restore_latest()
+            print("Restored orbax checkpoint")
+
+    print("Start training")
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

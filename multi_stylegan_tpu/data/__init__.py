@@ -1,0 +1,5 @@
+"""Data layer: TLFM tif dataset, synthetic fixtures, prefetching loader."""
+
+from multi_stylegan_tpu.data.tlfm import TLFMDataset, normalize_0_1  # noqa: F401
+from multi_stylegan_tpu.data.synthetic import SyntheticTLFMDataset  # noqa: F401
+from multi_stylegan_tpu.data.pipeline import BatchLoader  # noqa: F401

@@ -1,0 +1,66 @@
+"""Orbax checkpointing of the full training state.
+
+The reference checkpoints a 6-key torch dict every 5 epochs
+(reference multi_stylegan/model_wrapper.py:181-192, README.md:104-111) but
+loses the epoch counter, ADA p/r and the schedule state on resume
+(SURVEY.md §5).  Here the checkpoint IS the :class:`TrainState` pytree -
+step counter, both optimizer states, EMA, ADA controller, path-length mean -
+so resume is bitwise exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(path: str, pytree: Any) -> None:
+    """Save any pytree (e.g. a TrainState) to ``path`` (a directory)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(_abs(path), pytree, force=True)
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree.  ``template`` (a matching pytree of arrays or
+    ShapeDtypeStructs) restores exact structure/dtypes/shardings; without it
+    orbax restores as raw arrays in saved structure."""
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            return ckptr.restore(_abs(path), target)
+        return ckptr.restore(_abs(path))
+
+
+class CheckpointManager:
+    """Rolling checkpoint manager: ``checkpoint_<step>`` directories under a
+    root, mirroring the reference's ``checkpoint_{epoch}.pt`` naming."""
+
+    def __init__(self, root: str, max_to_keep: int = 5) -> None:
+        self.root = _abs(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.root,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,79 @@
+"""Device mesh + sharding rules - distribution as a real layer.
+
+The reference bolts data parallelism on at the CLI with single-process
+``nn.DataParallel`` (reference train_multi_stylegan.py:67-70) and unwraps it
+all over the runtime (SURVEY.md §1, §2.5).  Here distribution is explicit and
+invisible to the layers above: build a mesh, shard the batch on the ``data``
+axis, replicate parameters, and jit the fused train step - the XLA SPMD
+partitioner inserts the gradient all-reduces over ICI.
+
+The mesh reserves a ``model`` axis for tensor-parallel extensions; the
+shipped models fit one chip, so the default layout is pure DP
+(data=n_devices, model=1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    mesh_devices = mesh_utils.create_device_mesh(
+        (n_data, n_model), devices=devices[: n_data * n_model]
+    )
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
+    """Place a host array as a batch-sharded device array."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(state, sharding)
+
+
+def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True):
+    """jit the fused train step with explicit shardings: state replicated,
+    batch sharded over the data axis.  Gradient all-reduce compiles to XLA
+    collectives over ICI (SURVEY.md §2.5)."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )

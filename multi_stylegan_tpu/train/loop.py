@@ -1,0 +1,208 @@
+"""Training orchestration: the epoch/batch loop around the fused step.
+
+Reference: reference multi_stylegan/model_wrapper.py (ModelWrapper).  Host
+responsibilities here are deliberately thin - schedule flags from the epoch
+(wrong-order, trap-weight, cut-mix probability: model_wrapper.py:272,
+290-291, 331-332), logging, sample grids, validation cadence and
+checkpointing; ALL numerical work stays inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_stylegan_tpu.io.checkpoint import CheckpointManager
+from multi_stylegan_tpu.io.logger import Logger
+from multi_stylegan_tpu.models.config import TrainingConfig
+from multi_stylegan_tpu.models.discriminator import Discriminator
+from multi_stylegan_tpu.models.generator import Generator
+from multi_stylegan_tpu.train.state import TrainState, create_train_state
+from multi_stylegan_tpu.train.steps import StepFlags, make_train_step
+
+
+class Trainer:
+    """End-to-end GAN trainer (the reference ModelWrapper's role)."""
+
+    def __init__(
+        self,
+        generator: Generator,
+        discriminator: Discriminator,
+        config: TrainingConfig,
+        training_dataset,
+        data_logger: Optional[Logger] = None,
+        validation_metrics: Sequence[Callable] = (),
+        trap_weights_map: Optional[np.ndarray] = None,
+        mesh=None,
+        state: Optional[TrainState] = None,
+        checkpoint_dir: Optional[str] = None,
+        epochs: int = 100,
+    ) -> None:
+        self.generator = generator
+        self.discriminator = discriminator
+        self.cfg = config
+        self.dataset = training_dataset
+        self.logger = data_logger or Logger()
+        self.validation_metrics = tuple(validation_metrics)
+        self.mesh = mesh
+        self.epochs = epochs
+        self.best_fvd = float("inf")
+        self._py_rng = _pyrandom.Random(config.seed)
+
+        steps_per_epoch = len(training_dataset)
+        total = epochs * steps_per_epoch
+        if config.top_k and not config.resume_training:
+            tks = int(config.top_k_start * total)
+            tkf = int(config.top_k_finish * total)
+        elif config.top_k:
+            tks, tkf = 0, 1  # resume collapses to v=0.5 (model_wrapper.py:121-123)
+        else:
+            tks, tkf = total + 1, total + 2  # never leaves v=1.0
+
+        step_fn = make_train_step(
+            generator,
+            discriminator,
+            config,
+            top_k_start_iteration=tks,
+            top_k_final_iteration=tkf if config.top_k else 0,
+            trap_weights_map=None if trap_weights_map is None
+            else jnp.asarray(trap_weights_map),
+        )
+        if not config.top_k:
+            # schedule degenerates to v=1 via start > total steps
+            pass
+        if mesh is not None:
+            from multi_stylegan_tpu.parallel import make_sharded_train_step
+
+            self.step_fn = make_sharded_train_step(step_fn, mesh)
+        else:
+            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+        if state is None:
+            state = create_train_state(
+                jax.random.key(config.seed), generator, discriminator, config
+            )
+        if mesh is not None:
+            from multi_stylegan_tpu.parallel import replicate_state
+
+            state = replicate_state(mesh, state)
+        self.state = state
+
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir) if checkpoint_dir
+            else CheckpointManager(self.logger.path_models)
+        )
+
+        # fixed validation noise: batch of 15, always mixed
+        # (model_wrapper.py:99-102)
+        k1, k2 = jax.random.split(jax.random.key(config.seed + 1))
+        gcfg = generator.config
+        self.validation_noise = (
+            jax.random.normal(k1, (15, gcfg.latent_dimensions)),
+            jax.random.normal(k2, (15, gcfg.latent_dimensions)),
+        )
+
+    # ------------------------------------------------------------- sampling
+
+    def _g_vars(self, ema: bool = True):
+        params = self.state.g_ema_params if ema else self.state.g_params
+        return {"params": params, "noises": self.state.g_noises}
+
+    def sample(self, z1, z2=None, ema: bool = True, randomize_noise: bool = True,
+               rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.key(0)
+        k_mix, k_noise = jax.random.split(rng)
+        return self.generator.apply(
+            self._g_vars(ema), z1, z2,
+            randomize_noise=randomize_noise,
+            rngs={"mixing": k_mix, "noise": k_noise},
+        )
+
+    # -------------------------------------------------------------- training
+
+    def _epoch_flags(self, epoch: int) -> Tuple[bool, bool, float]:
+        cfg = self.cfg
+        resume = cfg.resume_training
+        wrong_order = (epoch >= cfg.wrong_order_start * self.epochs) or resume
+        trap = (cfg.trap_weight_start * self.epochs <= epoch) or resume
+        cut_mix_prob = 0.5 if resume else (0.5 / self.epochs) * epoch
+        return wrong_order, trap, cut_mix_prob
+
+    def train(self) -> TrainState:
+        cfg = self.cfg
+        for epoch in range(self.epochs):
+            self.epoch = epoch
+            wrong_order, trap, cm_prob = self._epoch_flags(epoch)
+            t0 = time.perf_counter()
+            n_seqs = 0
+            for batch in self.dataset:
+                batch = jnp.asarray(batch) if not isinstance(batch, jax.Array) else batch
+                flags = StepFlags(
+                    wrong_order=jnp.asarray(wrong_order),
+                    trap_weight=jnp.asarray(trap),
+                    # the reference draws this per batch on the host
+                    # (model_wrapper.py:331-332)
+                    do_cut_mix=jnp.asarray(self._py_rng.random() <= cm_prob),
+                )
+                self.state, metrics = self.step_fn(self.state, batch, flags)
+                n_seqs += batch.shape[0]
+                for name, value in jax.device_get(metrics).items():
+                    self.logger.log_metric(name, value)
+            dt = time.perf_counter() - t0
+            self.logger.log_metric("seqs_per_sec", n_seqs / max(dt, 1e-9))
+
+            self._save_sample_grids(epoch)
+            if (epoch + 1) % cfg.validate_every_n_epochs == 0:
+                self.validation()
+            self.logger.save()
+            if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0:
+                self.ckpt.save(int(jax.device_get(self.state.step)), self.state)
+        return self.state
+
+    def _save_sample_grids(self, epoch: int) -> None:
+        """Fixed-noise EMA/train grids, fixed+random per-layer noise
+        (model_wrapper.py:147-174)."""
+        z1, z2 = self.validation_noise
+        rng = jax.random.fold_in(jax.random.key(self.cfg.seed + 2), epoch)
+        for ema, tag in ((True, "prediction_ema"), (False, "prediction")):
+            fixed = self.sample(z1, z2, ema=ema, randomize_noise=False, rng=rng)
+            rand = self.sample(z1, z2, ema=ema, randomize_noise=True, rng=rng)
+            self.logger.save_prediction(jax.device_get(fixed), f"{tag}_{epoch + 1}")
+            self.logger.save_prediction(jax.device_get(rand), f"{tag}_rand_{epoch + 1}")
+
+    # ------------------------------------------------------------ validation
+
+    def validation(self) -> None:
+        """Run FID/FVD/IS with the EMA generator (model_wrapper.py:197-243)."""
+        for metric in self.validation_metrics:
+            scores = metric(
+                generator_apply=lambda z1, z2, rng: self.sample(
+                    z1, z2, ema=True, rng=rng
+                ),
+                dataset=self.dataset,
+            )
+            name = type(metric).__name__
+            if np.isscalar(scores):
+                self.logger.log_metric(f"{name}_bf", float(scores))
+                scores_bf = float(scores)
+            else:
+                channels = ["bf", "gfp", "rfp"]
+                for ch, s in zip(channels, scores):
+                    self.logger.log_metric(f"{name}_{ch}", float(s))
+                scores_bf = float(scores[0])
+            if "FVD" in name and scores_bf < self.best_fvd:
+                self.best_fvd = scores_bf
+
+    # --------------------------------------------------------------- resume
+
+    def restore_latest(self) -> bool:
+        step = self.ckpt.latest_step()
+        if step is None:
+            return False
+        self.state = self.ckpt.restore(self.state, step)
+        return True

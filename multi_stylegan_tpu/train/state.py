@@ -1,0 +1,110 @@
+"""Training state pytree + optimizer construction.
+
+The reference scatters training state across host objects: two torch
+optimizers, an EMA copy, ADA's python floats, the path-length running mean
+and a progress-bar step counter (reference multi_stylegan/model_wrapper.py,
+adaptive_discriminator_augmentation.py:36-39, loss.py:369).  Here everything
+lives in one device-resident pytree so the whole step - both optimizers, EMA,
+ADA control, schedules - compiles into a single XLA program, and a checkpoint
+of this pytree captures ALL of it (fixing the reference's resume gaps:
+SURVEY.md §5 "epoch counter is not checkpointed; ADA p/r state is not saved").
+
+Optimizers are optax: global-norm clip 5.0 feeding Adam(0.0, 0.999)
+(train_multi_stylegan.py:53-57, model_wrapper.py:296-298), with the style
+mapping net in its own Adam group at lr/100 (generator.get_parameters,
+multi_stylegan_generator.py:97-112).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from multi_stylegan_tpu.models.config import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    TrainingConfig,
+)
+from multi_stylegan_tpu.models.discriminator import Discriminator
+from multi_stylegan_tpu.models.generator import Generator
+from multi_stylegan_tpu.train.ada import AdaState
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array  # 1-based global batch counter
+    rng: jax.Array
+    g_params: Any
+    g_noises: Any  # fixed-noise buffer collection
+    g_ema_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    ada: AdaState
+    mean_path_length: jax.Array
+
+
+def generator_label_tree(params) -> Any:
+    """'style' for the mapping net (trained at lr/100), 'main' otherwise."""
+    return {
+        k: jax.tree.map(lambda _: "style" if k == "style_mapping" else "main", v)
+        for k, v in params.items()
+    }
+
+
+def make_generator_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+    adam = lambda lr: optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.multi_transform(
+            {
+                "main": adam(cfg.lr_generator),
+                "style": adam(cfg.lr_generator * cfg.lr_style_factor),
+            },
+            generator_label_tree,
+        ),
+    )
+
+
+def make_discriminator_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adam(cfg.lr_discriminator, b1=cfg.adam_beta1, b2=cfg.adam_beta2),
+    )
+
+
+def create_train_state(
+    rng: jax.Array,
+    generator: Generator,
+    discriminator: Discriminator,
+    train_cfg: TrainingConfig,
+) -> TrainState:
+    gcfg: GeneratorConfig = generator.config
+    dcfg: DiscriminatorConfig = discriminator.config
+    k_g, k_d, k_run = jax.random.split(rng, 3)
+    z = jnp.zeros((1, gcfg.latent_dimensions))
+    g_vars = generator.init(
+        {"params": k_g, "noise": k_g, "mixing": k_g}, z, randomize_noise=False
+    )
+    t = dcfg.sequence_length
+    c = dcfg.input_channels // t
+    h, w = gcfg.resolution
+    d_vars = discriminator.init(k_d, jnp.zeros((2, c, t, h, w)))
+    g_opt = make_generator_optimizer(train_cfg)
+    d_opt = make_discriminator_optimizer(train_cfg)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        rng=k_run,
+        g_params=g_vars["params"],
+        g_noises=g_vars["noises"],
+        g_ema_params=jax.tree.map(jnp.copy, g_vars["params"]),
+        d_params=d_vars["params"],
+        g_opt_state=g_opt.init(g_vars["params"]),
+        d_opt_state=d_opt.init(d_vars["params"]),
+        ada=AdaState.create(train_cfg.ada_p_init),
+        mean_path_length=jnp.asarray(0.0, jnp.float32),
+    )

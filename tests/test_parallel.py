@@ -1,0 +1,90 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md §4 item 4):
+1-device vs 8-device sharded training must agree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_stylegan_tpu.models import (
+    Discriminator,
+    Generator,
+    tiny_discriminator_config,
+    tiny_generator_config,
+)
+from multi_stylegan_tpu.models.config import TrainingConfig
+from multi_stylegan_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate_state,
+    shard_batch,
+)
+from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(n_data=4)
+    assert mesh2.devices.size == 4
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16)
+
+
+def test_sharded_step_matches_single_device():
+    gcfg = tiny_generator_config()
+    dcfg = tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=8, ada_r_update=2)
+    state0 = create_train_state(jax.random.key(0), g, d, cfg)
+    step_fn = make_train_step(g, d, cfg)
+    batch = jax.random.uniform(jax.random.key(1), (8, 2, 3, 32, 32))
+    flags = StepFlags.off()
+
+    # single device
+    s1, m1 = jax.jit(step_fn)(state0, batch, flags)
+
+    # 8-device data-parallel
+    mesh = make_mesh()
+    sharded_step = make_sharded_train_step(step_fn, mesh, donate=False)
+    state_r = replicate_state(mesh, state0)
+    batch_s = shard_batch(mesh, batch)
+    s8, m8 = sharded_step(state_r, batch_s, flags)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=2e-3, atol=2e-5, err_msg=k
+        )
+    # parameters agree within collective-reduction reassociation tolerance
+    l1 = jax.tree.leaves(s1.g_params)
+    l8 = jax.tree.leaves(s8.g_params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    ld1 = jax.tree.leaves(s1.d_params)
+    ld8 = jax.tree.leaves(s8.d_params)
+    for a, b in zip(ld1, ld8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    # ADA state agrees
+    np.testing.assert_allclose(float(s1.ada.p), float(s8.ada.p), rtol=1e-5)
+
+
+def test_generator_forward_sharded_matches():
+    gcfg = tiny_generator_config()
+    g = Generator(gcfg)
+    z = jnp.zeros((8, gcfg.latent_dimensions))
+    variables = g.init({"params": jax.random.key(0), "noise": jax.random.key(1),
+                        "mixing": jax.random.key(2)}, z)
+    zr = jax.random.normal(jax.random.key(3), (8, gcfg.latent_dimensions))
+
+    def fwd(v, z):
+        return g.apply(v, z, randomize_noise=False)
+
+    y1 = jax.jit(fwd)(variables, zr)
+    mesh = make_mesh()
+    from multi_stylegan_tpu.parallel import batch_sharding, replicated
+
+    y8 = jax.jit(fwd, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                 out_shardings=batch_sharding(mesh))(
+        replicate_state(mesh, variables), shard_batch(mesh, zr))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y8), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,130 @@
+"""Fused train step smoke tests (SURVEY.md §4 item 5): tiny config, synthetic
+data, N steps, finiteness + loss movement + schedule state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_stylegan_tpu.models import (
+    Discriminator,
+    Generator,
+    tiny_discriminator_config,
+    tiny_generator_config,
+)
+from multi_stylegan_tpu.models.config import TrainingConfig
+from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    gcfg = tiny_generator_config()
+    dcfg = tiny_discriminator_config()
+    g = Generator(gcfg)
+    d = Discriminator(dcfg)
+    cfg = TrainingConfig(
+        batch_size=4,
+        lazy_generator_regularization=2,
+        lazy_discriminator_regularization=2,
+        ada_r_update=2,
+    )
+    state = create_train_state(jax.random.key(0), g, d, cfg)
+    step_fn = make_train_step(g, d, cfg, top_k_start_iteration=2, top_k_final_iteration=6)
+    return g, d, cfg, state, jax.jit(step_fn)
+
+
+def _batch(seed, b=4):
+    return jax.random.uniform(jax.random.key(seed), (b, 2, 3, 32, 32))
+
+
+def test_train_step_runs_and_is_finite(tiny_setup):
+    g, d, cfg, state, step_fn = tiny_setup
+    flags = StepFlags.off()
+    metrics_hist = []
+    for i in range(4):
+        state, metrics = step_fn(state, _batch(i), flags)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    for m in metrics_hist:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+    assert int(state.step) == 4
+    # lazy regs ran on even steps (step % 2 == 0)
+    assert metrics_hist[0]["loss_discriminator_regularization"] == 0.0
+    assert metrics_hist[1]["loss_discriminator_regularization"] != 0.0
+    assert metrics_hist[1]["path_length"] != 0.0
+    # top-k schedule advanced: step 3 -> v between 0.5 and 1
+    assert 0.5 < metrics_hist[2]["top_k_v"] < 1.0
+
+
+def test_train_step_updates_all_parameter_groups(tiny_setup):
+    g, d, cfg, state, step_fn = tiny_setup
+    state2, _ = step_fn(state, _batch(100), StepFlags.off())
+
+    def changed(a, b):
+        return jax.tree.reduce(
+            lambda acc, x: acc or x,
+            jax.tree.map(lambda x, y: bool(jnp.any(x != y)), a, b),
+            False,
+        )
+
+    assert changed(state.g_params["style_mapping"], state2.g_params["style_mapping"])
+    assert changed(state.g_params["starting_convolution_1"],
+                   state2.g_params["starting_convolution_1"])
+    assert changed(state.d_params, state2.d_params)
+    assert changed(state.g_ema_params, state2.g_ema_params)
+    # noise buffers are NOT trained
+    assert not changed(state.g_noises, state2.g_noises)
+
+
+def test_train_step_flags_branches(tiny_setup):
+    g, d, cfg, state, step_fn = tiny_setup
+    on = jnp.asarray(True)
+    flags = StepFlags(wrong_order=on, trap_weight=jnp.asarray(False), do_cut_mix=on)
+    state2, metrics = step_fn(state, _batch(200), flags)
+    assert np.isfinite(float(metrics["loss_cut_mix_augmentation"]))
+    assert float(metrics["loss_cut_mix_augmentation"]) != 0.0
+    assert float(metrics["loss_cut_mix_regularization"]) != 0.0
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_train_step_deterministic(tiny_setup):
+    g, d, cfg, state, step_fn = tiny_setup
+    s1, m1 = step_fn(state, _batch(7), StepFlags.off())
+    s2, m2 = step_fn(state, _batch(7), StepFlags.off())
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]), err_msg=k)
+    leaves1 = jax.tree.leaves(s1.g_params)
+    leaves2 = jax.tree.leaves(s2.g_params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_losses_move_over_steps(tiny_setup):
+    """D should get better at separating real/fake over a few steps on a
+    fixed batch (loss decreases)."""
+    g, d, cfg, state, step_fn = tiny_setup
+    batch = _batch(42)
+    first = None
+    for i in range(6):
+        state, metrics = step_fn(state, batch, StepFlags.off())
+        d_loss = float(metrics["loss_discriminator_real"]) + float(
+            metrics["loss_discriminator_fake"]
+        )
+        if first is None:
+            first = d_loss
+    assert d_loss < first, (first, d_loss)
+
+
+def test_trap_weight_map_variant():
+    gcfg = tiny_generator_config()
+    dcfg = tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=2)
+    state = create_train_state(jax.random.key(1), g, d, cfg)
+    trap = jnp.ones((32, 32)) * 0.5
+    step_fn = jax.jit(make_train_step(g, d, cfg, trap_weights_map=trap))
+    flags = StepFlags(wrong_order=jnp.asarray(False),
+                      trap_weight=jnp.asarray(True), do_cut_mix=jnp.asarray(False))
+    state, metrics = step_fn(state, _batch(0, b=2), flags)
+    assert np.isfinite(float(metrics["loss_generator_pixel_wise"]))
