@@ -1,0 +1,274 @@
+"""FID / FVD / IS with the exact reference evaluation protocol.
+
+Reference: reference multi_stylegan/validation_metrics.py (SURVEY.md §6):
+5,000 real + 5,000 fake samples, EMA generator with ``p_mixed_noise=0``, a
+random single timestep per batch replicated to 3 RGB channels for FID/IS,
+the full 3-frame clip for FVD, batch-wise [-1, 1] renormalization
+(misc.py:216-235 including its clamp(min=1e-3) quirk), Inception-v3
+pool-2048 / I3D-Mixed_5c features, Frechet distance via scipy sqrtm.
+
+Pretrained weights: the reference pulls torchvision's inception_v3 and ships
+``pretrained_i3d/rgb_imagenet.pt``.  This environment has no network access,
+so extractors load from paths given explicitly or via the environment
+variables ``MSG_TPU_INCEPTION_PT`` / ``MSG_TPU_I3D_PT`` (torch state_dict
+.pt files); ``allow_random_weights=True`` runs the full pipeline with random
+features (useful for tests / plumbing, meaningless as a quality score).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_stylegan_tpu.eval.frechet import frechet_distance
+from multi_stylegan_tpu.eval.i3d import InceptionI3D, convert_pytorch_i3d
+from multi_stylegan_tpu.eval.inception_v3 import (
+    InceptionV3,
+    convert_torchvision_inception,
+)
+
+
+class WeightsUnavailable(RuntimeError):
+    pass
+
+
+def normalize_m1_1_batch(x: jax.Array) -> jax.Array:
+    """Per-sample min-max to [0,1] (clamped at 1e-3), then to [-1, 1]
+    (misc.py:216-235)."""
+    flat = x.reshape(x.shape[0], -1)
+    mn = jnp.min(flat, axis=1).reshape((-1,) + (1,) * (x.ndim - 1))
+    mx = jnp.max(flat, axis=1).reshape((-1,) + (1,) * (x.ndim - 1))
+    zero_one = jnp.clip((x - mn) / (mx - mn), 1e-3, None)
+    return 2.0 * zero_one - 1.0
+
+
+def resize_bilinear_antialias(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """kornia.resize(..., 'bilinear', antialias=True) equivalent: jax.image
+    linear resize with antialiasing (NHWC spatial dims 1, 2)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, *size, c), method="linear", antialias=True)
+
+
+def _load_torch_state_dict(path: str):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+
+
+def _random_timestep_rgb(images: jax.Array, domain: int, rng: jax.Array) -> jax.Array:
+    """One random timestep (shared per batch, validation_metrics.py:247-256),
+    replicated to 3 channels: [B, C, T, H, W] -> [B, H, W, 3]."""
+    t = jax.random.randint(rng, (), 0, images.shape[2])
+    frame = jax.lax.dynamic_index_in_dim(images[:, domain], t, axis=1, keepdims=False)
+    return jnp.repeat(frame[..., None], 3, axis=-1)
+
+
+class _MetricBase:
+    def __init__(
+        self,
+        batch_size: int = 24,
+        data_samples: int = 5000,
+        no_rfp: bool = True,
+        no_gfp: bool = False,
+        latent_dimensions: int = 512,
+        seed: int = 0,
+    ) -> None:
+        self.batch_size = batch_size
+        self.data_samples = data_samples
+        self.no_rfp = no_rfp
+        self.no_gfp = no_gfp
+        self.latent_dimensions = latent_dimensions
+        self.seed = seed
+
+    @property
+    def _domains(self):
+        if self.no_gfp:
+            return (0,)
+        if self.no_rfp:
+            return (0, 1)
+        return (0, 1, 2)
+
+    def _fake_batches(self, generator_apply: Callable, rng: jax.Array):
+        n_batches = math.ceil(self.data_samples / self.batch_size)
+        for i in range(n_batches):
+            rng, kz, kg = jax.random.split(rng, 3)
+            z = jax.random.normal(kz, (self.batch_size, self.latent_dimensions))
+            yield generator_apply(z, None, kg)
+
+
+class FID(_MetricBase):
+    """Frechet inception distance per imaging domain
+    (validation_metrics.py:157-358)."""
+
+    def __init__(self, inception_path: Optional[str] = None,
+                 allow_random_weights: bool = False, **kw) -> None:
+        super().__init__(**kw)
+        path = inception_path or os.environ.get("MSG_TPU_INCEPTION_PT")
+        self.model = InceptionV3()
+        if path:
+            sd = _load_torch_state_dict(path)
+            self.params = jax.tree.map(jnp.asarray, convert_torchvision_inception(sd))
+        elif allow_random_weights:
+            self.params = self.model.init(
+                jax.random.key(0), jnp.zeros((1, 299, 299, 3))
+            )["params"]
+        else:
+            raise WeightsUnavailable(
+                "FID needs torchvision inception_v3 weights: pass "
+                "inception_path= or set MSG_TPU_INCEPTION_PT"
+            )
+        self._features = jax.jit(self._feature_fn)
+        self.activations_real = None
+
+    def _feature_fn(self, frames: jax.Array) -> jax.Array:
+        """[B, H, W, 3] raw frames -> 2048-d pooled features: normalize to
+        [-1,1] FIRST, then resize to 299 inside the net
+        (validation_metrics.py:258, 588-591)."""
+        x = normalize_m1_1_batch(frames)
+        x = resize_bilinear_antialias(x, (299, 299))
+        return self.model.apply({"params": self.params}, x, features_only=True)
+
+    def _collect(self, batches, rng: jax.Array):
+        acts = {d: [] for d in self._domains}
+        count = 0
+        for images in batches:
+            images = jnp.asarray(images)
+            rng, kt = jax.random.split(rng)
+            for d in self._domains:
+                frames = _random_timestep_rgb(images, d, kt)
+                acts[d].append(np.asarray(jax.device_get(self._features(frames))))
+            count += images.shape[0]
+            if count >= self.data_samples:
+                break
+        return {
+            d: np.concatenate(a, axis=0)[: self.data_samples] for d, a in acts.items()
+        }
+
+    def __call__(self, generator_apply: Callable, dataset, **kwargs):
+        rng = jax.random.key(self.seed)
+        if self.activations_real is None:
+            self.activations_real = self._collect(iter(dataset), rng)
+        rng_f = jax.random.key(self.seed + 1)
+        acts_fake = self._collect(self._fake_batches(generator_apply, rng_f), rng_f)
+        scores = tuple(
+            frechet_distance(self.activations_real[d], acts_fake[d])
+            for d in self._domains
+        )
+        return scores[0] if len(scores) == 1 else scores
+
+
+class IS(_MetricBase):
+    """Inception score per imaging domain (validation_metrics.py:16-154)."""
+
+    def __init__(self, inception_path: Optional[str] = None,
+                 allow_random_weights: bool = False, **kw) -> None:
+        super().__init__(**kw)
+        path = inception_path or os.environ.get("MSG_TPU_INCEPTION_PT")
+        self.model = InceptionV3()
+        if path:
+            sd = _load_torch_state_dict(path)
+            self.params = jax.tree.map(jnp.asarray, convert_torchvision_inception(sd))
+        elif allow_random_weights:
+            self.params = self.model.init(
+                jax.random.key(0), jnp.zeros((1, 299, 299, 3))
+            )["params"]
+        else:
+            raise WeightsUnavailable(
+                "IS needs torchvision inception_v3 weights: pass "
+                "inception_path= or set MSG_TPU_INCEPTION_PT"
+            )
+        self._probs = jax.jit(self._prob_fn)
+
+    def _prob_fn(self, frames: jax.Array) -> jax.Array:
+        """IS preprocessing order differs from FID: resize FIRST, then
+        renormalize (validation_metrics.py:44-52)."""
+        x = resize_bilinear_antialias(frames, (299, 299))
+        x = normalize_m1_1_batch(x)
+        logits = self.model.apply({"params": self.params}, x, features_only=False)
+        return jax.nn.softmax(logits, axis=1)
+
+    def __call__(self, generator_apply: Callable, **kwargs):
+        rng = jax.random.key(self.seed + 2)
+        probs = {d: [] for d in self._domains}
+        for images in self._fake_batches(generator_apply, rng):
+            rng, kt = jax.random.split(rng)
+            for d in self._domains:
+                frames = _random_timestep_rgb(jnp.asarray(images), d, kt)
+                probs[d].append(np.asarray(jax.device_get(self._probs(frames))))
+        scores = []
+        for d in self._domains:
+            p = np.concatenate(probs[d], axis=0)[: self.data_samples]
+            p_y = p.mean(axis=0, keepdims=True)
+            kl = np.sum(p * np.log(p / p_y), axis=-1)
+            scores.append(float(np.exp(kl.mean())))
+        return scores[0] if len(scores) == 1 else tuple(scores)
+
+
+class FVD(_MetricBase):
+    """Frechet video distance per imaging domain over the full 3-frame clip
+    (validation_metrics.py:361-568)."""
+
+    def __init__(self, i3d_path: Optional[str] = None,
+                 allow_random_weights: bool = False, **kw) -> None:
+        super().__init__(**kw)
+        path = i3d_path or os.environ.get("MSG_TPU_I3D_PT")
+        self.model = InceptionI3D()
+        if path:
+            sd = _load_torch_state_dict(path)
+            self.params = jax.tree.map(jnp.asarray, convert_pytorch_i3d(sd))
+        elif allow_random_weights:
+            self.params = self.model.init(
+                jax.random.key(0), jnp.zeros((1, 3, 224, 224, 3))
+            )["params"]
+        else:
+            raise WeightsUnavailable(
+                "FVD needs the pytorch-i3d rgb_imagenet weights: pass "
+                "i3d_path= or set MSG_TPU_I3D_PT"
+            )
+        self._features = jax.jit(self._feature_fn)
+        self.activations_real = None
+
+    def _feature_fn(self, clips: jax.Array) -> jax.Array:
+        """[B, C=1dom, T, H, W] -> I3D features: replicate to RGB, [-1,1]
+        renormalize, resize to 224 (validation_metrics.py:454-468, 940-944)."""
+        x = jnp.repeat(clips[:, None], 3, axis=1)  # [B, 3, T, H, W]
+        x = normalize_m1_1_batch(x)
+        b, c, t, h, w = x.shape
+        flat = x.reshape(b, c * t, h, w).transpose(0, 2, 3, 1)
+        flat = resize_bilinear_antialias(flat, (224, 224))
+        x = flat.transpose(0, 3, 1, 2).reshape(b, c, t, 224, 224)
+        x = x.transpose(0, 2, 3, 4, 1)  # NDHWC
+        return self.model.apply({"params": self.params}, x)
+
+    def _collect(self, batches):
+        acts = {d: [] for d in self._domains}
+        count = 0
+        for images in batches:
+            images = jnp.asarray(images)
+            for d in self._domains:
+                acts[d].append(
+                    np.asarray(jax.device_get(self._features(images[:, d])))
+                )
+            count += images.shape[0]
+            if count >= self.data_samples:
+                break
+        return {
+            d: np.concatenate(a, axis=0)[: self.data_samples] for d, a in acts.items()
+        }
+
+    def __call__(self, generator_apply: Callable, dataset, **kwargs):
+        if self.activations_real is None:
+            self.activations_real = self._collect(iter(dataset))
+        rng = jax.random.key(self.seed + 3)
+        acts_fake = self._collect(self._fake_batches(generator_apply, rng))
+        scores = tuple(
+            frechet_distance(self.activations_real[d], acts_fake[d])
+            for d in self._domains
+        )
+        return scores[0] if len(scores) == 1 else scores

@@ -1,0 +1,6 @@
+"""Shared utilities."""
+
+from multi_stylegan_tpu.utils.image import (  # noqa: F401
+    normalize_0_1_batch,
+    normalize_m1_1_batch,
+)
