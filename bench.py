@@ -15,7 +15,9 @@ import os
 import time
 
 
-def run_bench(batch_candidates=(24, 16, 8), steps: int = 24, warmup: int = 4):
+def run_bench(candidates=(("bfloat16", 24), ("bfloat16", 16), ("float32", 16),
+                          ("float32", 8)),
+              steps: int = 24, warmup: int = 4):
     import jax
     import jax.numpy as jnp
 
@@ -27,14 +29,13 @@ def run_bench(batch_candidates=(24, 16, 8), steps: int = 24, warmup: int = 4):
     )
     from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
 
-    gcfg = GeneratorConfig()
-    dcfg = DiscriminatorConfig(no_rfp=True)
-    generator, discriminator = Generator(gcfg), Discriminator(dcfg)
-
-    last_err = None
-    for batch in batch_candidates:
+    errors = []
+    for dtype, batch in candidates:
         try:
-            cfg = TrainingConfig(batch_size=batch)
+            gcfg = GeneratorConfig(compute_dtype=dtype)
+            dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype)
+            generator, discriminator = Generator(gcfg), Discriminator(dcfg)
+            cfg = TrainingConfig(batch_size=batch, compute_dtype=dtype)
             state = create_train_state(
                 jax.random.key(0), generator, discriminator, cfg
             )
@@ -60,16 +61,15 @@ def run_bench(batch_candidates=(24, 16, 8), steps: int = 24, warmup: int = 4):
             n_chips = jax.device_count()
             return {
                 "batch": batch,
+                "dtype": dtype,
                 "seqs_per_sec_per_chip": batch * steps / dt / n_chips,
                 "step_ms": dt / steps * 1e3,
                 "n_chips": n_chips,
                 "backend": jax.default_backend(),
             }
-        except Exception as exc:  # OOM at this batch: try smaller
-            last_err = exc
-            if "RESOURCE_EXHAUSTED" not in str(exc) and "OOM" not in str(exc):
-                raise
-    raise RuntimeError(f"all batch sizes failed: {last_err}")
+        except Exception as exc:  # OOM / compile failure: back off
+            errors.append(f"{dtype}/b{batch}: {type(exc).__name__}: {str(exc)[:200]}")
+    raise RuntimeError("all bench configs failed:\n" + "\n".join(errors))
 
 
 def main() -> None:
@@ -88,6 +88,7 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "3-frame 2-channel seqs/sec/chip",
                 "vs_baseline": round(value / baseline, 3) if baseline else 1.0,
+                "dtype": result["dtype"],
                 "batch": result["batch"],
                 "step_ms": round(result["step_ms"], 2),
                 "n_chips": result["n_chips"],

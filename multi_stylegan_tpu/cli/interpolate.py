@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--tiny", default=False, action="store_true")
     parser.add_argument("--keep_frames", default=False, action="store_true")
+    parser.add_argument("--platform", default=None, type=str,
+                        help="Force a jax platform (e.g. 'cpu'); the axon TPU "
+                             "plugin ignores JAX_PLATFORMS, this flag works.")
     return parser
 
 
@@ -49,6 +52,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Reproduce the reference's tower-2 output-block wiring.")
     parser.add_argument("--no_validation_metrics", default=False, action="store_true",
                         help="Skip FID/FVD/IS validation (e.g. without pretrained weights).")
+    parser.add_argument("--platform", default=None, type=str,
+                        help="Force a jax platform (e.g. 'cpu'); the axon TPU "
+                             "plugin ignores JAX_PLATFORMS, this flag works.")
     return parser
 
 
@@ -56,6 +59,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from multi_stylegan_tpu.data import BatchLoader, SyntheticTLFMDataset, TLFMDataset
     from multi_stylegan_tpu.io import Logger

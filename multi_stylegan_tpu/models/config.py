@@ -31,6 +31,13 @@ class GeneratorConfig:
     # symmetric (almost certainly intended) version; set True to reproduce the
     # published-checkpoint behavior exactly.
     compat_tower2_output_bug: bool = False
+    # Activation compute dtype ("float32" or "bfloat16"); params stay fp32,
+    # outputs are returned fp32.
+    compute_dtype: str = "float32"
+    # Rematerialize styled-conv/output blocks in the backward pass (trades
+    # ~30% extra flops for large activation-memory savings; required to fit
+    # the full config's path-length double-backward at batch 24 on one chip).
+    remat: bool = True
 
     @property
     def stage_channels(self) -> Tuple[int, ...]:
@@ -67,6 +74,11 @@ class DiscriminatorConfig:
     no_rfp: bool = True
     no_gfp: bool = False
     sequence_length: int = 3
+    # Activation compute dtype ("float32" or "bfloat16"); params stay fp32,
+    # heads are returned fp32.
+    compute_dtype: str = "float32"
+    # Rematerialize encoder/decoder blocks in the backward pass.
+    remat: bool = True
 
     @property
     def input_channels(self) -> int:

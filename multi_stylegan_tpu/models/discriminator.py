@@ -66,6 +66,7 @@ class Discriminator(nn.Module):
         # [B, C, T, H, W] -> [B, H, W, C*T] (flatten channel*time:
         # u_net_2d_discriminator.py:124, then channels-last for TPU).
         y = jnp.transpose(x.reshape(b, c * t, h, w), (0, 2, 3, 1))
+        y = y.astype(jnp.dtype(cfg.compute_dtype))
 
         if cfg.fft:
             # 3D rFFT features over (T, H, W) per imaging domain, real+imag
@@ -85,15 +86,18 @@ class Discriminator(nn.Module):
         dec = cfg.decoder_channels
         blur_kernel = make_blur_kernel()
         n_enc = len(enc)
+        # Rematerialized blocks (jax.checkpoint) for backward-pass memory.
+        RB = nn.remat(ResNetBlock) if cfg.remat else ResNetBlock
+        NL = nn.remat(NonLocalBlock) if cfg.remat else NonLocalBlock
 
         # --- encoder ---
         features = []
         for i, (_, cout) in enumerate(enc):
             if i == 2:
-                y = NonLocalBlock(cout, name=f"encoder_{i}")(y)
+                y = NL(cout, name=f"encoder_{i}")(y)
             else:
-                y = ResNetBlock(cout, mini_batch_std_dev=i >= n_enc - 2,
-                                name=f"encoder_{i}")(y)
+                y = RB(cout, mini_batch_std_dev=i >= n_enc - 2,
+                       name=f"encoder_{i}")(y)
             if i != n_enc - 1:
                 features.append(y)
                 # downscale: k3 s2 p0 conv then blur (pad (2,2))
@@ -115,15 +119,16 @@ class Discriminator(nn.Module):
                                  name=f"upconv_{i}")(up)
             y = jnp.concatenate([up, skip], axis=-1)
             if i == 1:
-                y = NonLocalBlock(dout, name=f"decoder_{i}")(y)
+                y = NL(dout, name=f"decoder_{i}")(y)
             else:
-                y = ResNetBlock(dout, name=f"decoder_{i}")(y)
+                y = RB(dout, name=f"decoder_{i}")(y)
 
         # --- pixel-wise head (u_net_2d_discriminator.py:93-97, 139) ---
         y = FusedLeakyReLUModule(dec[-1][-1], name="final_act")(y)
         y = EqualizedConv2d(1, 1, 1, 0, use_bias=False, name="final_conv")(y)
         pixel = jnp.transpose(y, (0, 3, 1, 2))[:, :, None]  # [B, 1, 1, H, W]
-        return cls, pixel
+        # heads always return fp32 (loss/heuristic math stays full precision)
+        return cls.astype(jnp.float32), pixel.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,11 @@ class Generator(nn.Module):
         cfg = self.config
         ch = cfg.stage_channels
         taps = cfg.blur_taps
+        # Rematerialized blocks: recompute activations in the backward pass
+        # instead of storing them (jax.checkpoint; essential for the
+        # path-length grad-of-grad memory at full resolution).
+        SC = nn.remat(StyledConv2d) if cfg.remat else StyledConv2d
+        OB = nn.remat(OutputBlock) if cfg.remat else OutputBlock
         self.style_mapping = StyleMapping(cfg.latent_dimensions, cfg.depth_style_mapping)
         h0, w0 = cfg.starting_resolution
         self.constant_input_1 = self.param(
@@ -189,18 +194,18 @@ class Generator(nn.Module):
         self.constant_input_2 = self.param(
             "constant_input_2", nn.initializers.ones, (1, h0, w0, ch[0]), jnp.float32
         )
-        self.starting_convolution_1 = StyledConv2d(ch[0], 3, True, False, True, taps)
-        self.starting_convolution_2 = StyledConv2d(ch[0], 3, True, False, False, taps)
-        self.starting_output_block_1 = OutputBlock(cfg.sequence_length, False, True, taps)
-        self.starting_output_block_2 = OutputBlock(cfg.sequence_length, False, False, taps)
+        self.starting_convolution_1 = SC(ch[0], 3, True, False, True, taps)
+        self.starting_convolution_2 = SC(ch[0], 3, True, False, False, taps)
+        self.starting_output_block_1 = OB(cfg.sequence_length, False, True, taps)
+        self.starting_output_block_2 = OB(cfg.sequence_length, False, False, taps)
         mc1, mc2, ob1, ob2 = [], [], [], []
         for i in range(cfg.n_stages):
-            mc1.append(StyledConv2d(ch[i + 1], 2, True, True, True, taps))
-            mc1.append(StyledConv2d(ch[i + 1], 3, True, False, True, taps))
-            mc2.append(StyledConv2d(ch[i + 1], 2, True, True, False, taps))
-            mc2.append(StyledConv2d(ch[i + 1], 3, True, False, False, taps))
-            ob1.append(OutputBlock(cfg.sequence_length, True, True, taps))
-            ob2.append(OutputBlock(cfg.sequence_length, True, False, taps))
+            mc1.append(SC(ch[i + 1], 2, True, True, True, taps))
+            mc1.append(SC(ch[i + 1], 3, True, False, True, taps))
+            mc2.append(SC(ch[i + 1], 2, True, True, False, taps))
+            mc2.append(SC(ch[i + 1], 3, True, False, False, taps))
+            ob1.append(OB(cfg.sequence_length, True, True, taps))
+            ob2.append(OB(cfg.sequence_length, True, False, taps))
         self.main_convolutions_1 = mc1
         self.main_convolutions_2 = mc2
         self.output_blocks_1 = ob1
@@ -269,9 +274,12 @@ class Generator(nn.Module):
         cfg = self.config
         b = wplus.shape[0]
         compat = cfg.compat_tower2_output_bug
+        dtype = jnp.dtype(cfg.compute_dtype)
+        wplus = wplus.astype(dtype)
+        noise = [n.astype(dtype) for n in noise]
 
-        out1 = jnp.tile(self.constant_input_1, (b, 1, 1, 1))
-        out2 = jnp.tile(self.constant_input_2, (b, 1, 1, 1))
+        out1 = jnp.tile(self.constant_input_1.astype(dtype), (b, 1, 1, 1))
+        out2 = jnp.tile(self.constant_input_2.astype(dtype), (b, 1, 1, 1))
         out1, s = self.starting_convolution_1(out1, wplus[:, 0], noise[0])
         out2 = self.starting_convolution_2(out2, s, noise[0])
         # The tower-2 quirk is only in the stage loop (line 189), not here
@@ -285,9 +293,10 @@ class Generator(nn.Module):
             out2 = self.main_convolutions_2[2 * i + 1](out2, s, noise[2 * i + 2])
             skip1, s = self.output_blocks_1[i](out1, wplus[:, 2 * i + 3], skip=skip1)
             skip2 = self.output_blocks_2[i](out1 if compat else out2, s, skip=skip2)
-        # NHWC (T as channels) -> [B, T, H, W], stacked over domains.
-        img1 = jnp.transpose(skip1, (0, 3, 1, 2))
-        img2 = jnp.transpose(skip2, (0, 3, 1, 2))
+        # NHWC (T as channels) -> [B, T, H, W], stacked over domains; output
+        # is always fp32 regardless of compute dtype.
+        img1 = jnp.transpose(skip1, (0, 3, 1, 2)).astype(jnp.float32)
+        img2 = jnp.transpose(skip2, (0, 3, 1, 2)).astype(jnp.float32)
         image = jnp.stack([img1, img2], axis=1)
         if return_latents:
             return image, wplus
