@@ -17,7 +17,7 @@ import time
 
 def run_bench(candidates=(("bfloat16", 24), ("bfloat16", 16), ("float32", 16),
                           ("float32", 8)),
-              steps: int = 24, warmup: int = 4):
+              steps: int = 12, warmup: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -52,11 +52,14 @@ def run_bench(candidates=(("bfloat16", 24), ("bfloat16", 16), ("float32", 16),
             )
             for _ in range(warmup):
                 state, metrics = step_fn(state, data, flags)
-            jax.block_until_ready(metrics)
+            # NOTE: on the tunneled axon runtime, block_until_ready can ack
+            # before execution completes; a host scalar fetch is the only
+            # trustworthy barrier.
+            float(metrics["loss_generator"])
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, metrics = step_fn(state, data, flags)
-            jax.block_until_ready(metrics)
+            float(metrics["loss_generator"])
             dt = time.perf_counter() - t0
             n_chips = jax.device_count()
             return {

@@ -163,15 +163,115 @@ def fused_leaky_relu_pallas(
 
 
 # ---------------------------------------------------------------------------
-# upfirdn2d stencil kernel (up in {1, 2}, down == 1) - see perf notes in
-# ops/upfirdn2d.py.  Implemented in the performance pass; the dispatcher
-# falls back to XLA while this is unavailable.
+# upfirdn2d stencil kernel (up in {1, 2}, down == 1)
 # ---------------------------------------------------------------------------
+#
+# NHWC polyphase stencil: channels ride the 128-wide lanes, the FIR taps are
+# static shifted slices on the VPU - no MXU, no materialized 4x-upsampled
+# intermediate in HBM (the XLA depthwise-conv path lowers to a contraction
+# with dim 1, wasting the MXU; this kernel is pure bandwidth).
+#
+# Padding is normalized at the JAX level: the input is zero-padded by
+# q = ceil(p / up) whole input rows/cols so that inside the kernel every
+# access lands in-bounds, with a sub-up-factor phase offset d = q*up - p.
+# For an output row tile [r0, r0+th) (th a multiple of up) the kernel needs
+# the contiguous input row slab [r0/up, r0/up + hin) with
+# hin = floor((th + kh - 2 + d)/up) + 1 - overlapping slabs are fetched by
+# async-copying from HBM into VMEM scratch (BlockSpec blocks cannot overlap).
 
-HAS_PALLAS_UPFIRDN = False
+HAS_PALLAS_UPFIRDN = True
 
 
-def upfirdn2d_pallas(x, kernel, up: int, pad: Tuple[int, int, int, int]):
-    raise NotImplementedError(
-        "pallas upfirdn2d lands with the performance pass; use impl='xla'"
-    )
+def _interleave_zeros(x: jax.Array, axis: int, up: int) -> jax.Array:
+    """Zero-stuff along ``axis``: [..., n, ...] -> [..., n*up, ...]."""
+    if up == 1:
+        return x
+    parts = [x] + [jnp.zeros_like(x)] * (up - 1)
+    stacked = jnp.stack(parts, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = x.shape[axis] * up
+    return stacked.reshape(new_shape)
+
+
+def _make_upfirdn_kernel(kflip, up, d0h, d0w, th, hin, wo, wp):
+    kh, kw = kflip.shape
+
+    def kernel(x_hbm, o_ref, scratch, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        s0 = i * (th // up)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(s0, hin), :, :], scratch, sem
+        )
+        cp.start()
+        cp.wait()
+        xq = scratch[:]  # [hin, wp, tc]
+        xup = _interleave_zeros(_interleave_zeros(xq, 0, up), 1, up)
+        acc = None
+        for ky in range(kh):
+            for kx in range(kw):
+                tap = float(kflip[ky, kx])
+                if tap == 0.0:
+                    continue
+                sl = (
+                    xup[ky + d0h : ky + d0h + th, kx + d0w : kx + d0w + wo, :]
+                    * tap
+                )
+                acc = sl if acc is None else acc + sl
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def upfirdn2d_pallas(
+    x: jax.Array, kernel: jax.Array, up: int, pad: Tuple[int, int, int, int]
+) -> jax.Array:
+    """NHWC upfirdn2d for up in {1, 2}, down == 1 (see module comment)."""
+    import numpy as np
+
+    py0, py1, px0, px1 = pad
+    bsz, h, w, c = x.shape
+    kh, kw = kernel.shape
+    ho = h * up + py0 + py1 - kh + 1
+    wo = w * up + px0 + px1 - kw + 1
+    # JAX-level whole-row/col zero padding; sub-up phase handled in-kernel.
+    q_top = -(-py0 // up) if py0 > 0 else 0
+    q_bot = -(-py1 // up) if py1 > 0 else 0
+    q_left = -(-px0 // up) if px0 > 0 else 0
+    q_right = -(-px1 // up) if px1 > 0 else 0
+    if min(py0, py1, px0, px1) < 0:
+        # negative padding: crop via the XLA path (unused by the models)
+        from multi_stylegan_tpu.ops.upfirdn2d import upfirdn2d_xla
+
+        return upfirdn2d_xla(x, kernel, up=up, down=1, pad=(py0, py1, px0, px1))
+    xq = jnp.pad(x, ((0, 0), (q_top, q_bot), (q_left, q_right), (0, 0)))
+    d0h = q_top * up - py0
+    d0w = q_left * up - px0
+    # output row tile: multiple of up, target ~16 rows
+    th = min(ho, 16)
+    th -= th % up
+    th = max(th, up)
+    n_tiles = -(-ho // th)
+    ho_pad = n_tiles * th
+    # input slab rows per tile (covers the last, possibly clipped, tile too)
+    hin = (th + kh - 2 + d0h) // up + 1
+    need_rows = (n_tiles - 1) * (th // up) + hin
+    if need_rows > xq.shape[1]:
+        xq = jnp.pad(xq, ((0, 0), (0, need_rows - xq.shape[1]), (0, 0), (0, 0)))
+    wp = xq.shape[2]
+    kflip = np.asarray(jnp.flip(kernel, (0, 1)))
+
+    out = pl.pallas_call(
+        _make_upfirdn_kernel(kflip, up, d0h, d0w, th, hin, wo, wp),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho_pad, wo, c), x.dtype),
+        grid=(bsz, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, th, wo, c), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hin, wp, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xq)
+    return out[:, :ho]

@@ -137,6 +137,41 @@ def _bilinear_gather(images: jax.Array, sx: jax.Array, sy: jax.Array,
     return top * (1 - ty) + bot * ty
 
 
+def _rot_mat(angle_deg: jax.Array) -> jax.Array:
+    """[B, 2, 2] rotation matrices (x, y) for per-image angles in degrees."""
+    theta = jnp.deg2rad(angle_deg).astype(jnp.float32)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack(
+        [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2
+    )
+
+
+def _scale_mat(scale_xy: jax.Array) -> jax.Array:
+    """[B, 2, 2] diagonal scale matrices from [B, 2] (x, y) factors."""
+    z = jnp.zeros_like(scale_xy[:, 0])
+    return jnp.stack(
+        [jnp.stack([scale_xy[:, 0], z], -1), jnp.stack([z, scale_xy[:, 1]], -1)], -2
+    )
+
+
+def apply_affine_matrix(
+    images: jax.Array, inv_mat: jax.Array, padding: str = "reflect"
+) -> jax.Array:
+    """Warp by a per-image 2x2 *inverse* map about the image center
+    (0.5 * extent, matching ada.py:137-138): src = c + inv_mat @ (dst - c),
+    bilinear sampling.  Differentiable w.r.t. ``images``."""
+    b, h, w, _ = images.shape
+    cy, cx = 0.5 * h, 0.5 * w
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx = (xs - cx)[None]  # [1, H, W]
+    dy = (ys - cy)[None]
+    m = inv_mat[:, :, :, None, None]
+    sxc = cx + m[:, 0, 0] * dx + m[:, 0, 1] * dy
+    syc = cy + m[:, 1, 0] * dx + m[:, 1, 1] * dy
+    return _bilinear_gather(images, sxc, syc, padding)
+
+
 def apply_affine(
     images: jax.Array,
     angle_deg: jax.Array,
@@ -144,27 +179,9 @@ def apply_affine(
     padding: str = "reflect",
 ) -> jax.Array:
     """Rotate by ``angle_deg`` [B] and scale by ``scale_xy`` [B, 2] about the
-    image center (0.5 * extent, matching ada.py:137-138), bilinear sampling.
-
-    scale > 1 zooms in.  Differentiable w.r.t. ``images`` (the generator
-    gradient path) and the continuous parameters.
-    """
-    b, h, w, _ = images.shape
-    cy, cx = 0.5 * h, 0.5 * w
-    theta = jnp.deg2rad(angle_deg).astype(jnp.float32)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    inv_sx = 1.0 / scale_xy[:, 0]
-    inv_sy = 1.0 / scale_xy[:, 1]
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    dx = (xs - cx)[None]  # [1, H, W]
-    dy = (ys - cy)[None]
-    # inverse map: rotate by -theta, then unscale
-    rx = cos[:, None, None] * dx + sin[:, None, None] * dy
-    ry = -sin[:, None, None] * dx + cos[:, None, None] * dy
-    sxc = cx + rx * inv_sx[:, None, None]
-    syc = cy + ry * inv_sy[:, None, None]
-    return _bilinear_gather(images, sxc, syc, padding)
+    image center, bilinear sampling.  scale > 1 zooms in."""
+    inv = _scale_mat(1.0 / scale_xy) @ _rot_mat(-angle_deg)
+    return apply_affine_matrix(images, inv, padding)
 
 
 # ---------------------------------------------------------------------------
@@ -202,23 +219,34 @@ def augmentation_pipeline(rng: jax.Array, images: jax.Array, p: jax.Array) -> ja
     translated = jnp.roll(images, (sh, sw), axis=(1, 2))
     images = gate(keys[5], p, translated, images)
 
-    # 4. isotropic log-normal scaling, per image (ada.py:131-147)
-    s_iso = jnp.exp(jax.random.normal(keys[6], (b, 1)) * _LOGNORMAL_SIGMA)
-    scaled = apply_affine(images, jnp.zeros((b,)), jnp.tile(s_iso, (1, 2)))
-    images = gate(keys[7], p, scaled, images)
+    # 4-7. isotropic log-normal scaling -> arbitrary rotation (prob
+    # 1-sqrt(1-p)) -> anisotropic log-normal scaling -> arbitrary rotation
+    # (ada.py:131-199).  TPU-first: the four per-image affine stages are
+    # COMPOSED into one 2x2 map and applied with a single bilinear warp -
+    # one gather pass instead of four, and bilinear sampling at identity is
+    # exact so un-gated images pass through unchanged.  (The reference warps
+    # sequentially through kornia; composition only changes boundary/
+    # resampling blur, documented divergence.)
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (b, 2, 2))
 
-    # 5. arbitrary rotation with prob 1 - sqrt(1 - p) (ada.py:148-164)
+    def gated_mat(key, prob, mat):
+        m = jax.random.bernoulli(key, prob, (b, 1, 1))
+        return jnp.where(m, mat, eye)
+
     p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - p, 0.0, 1.0))
+    s_iso = jnp.exp(jax.random.normal(keys[6], (b, 1)) * _LOGNORMAL_SIGMA)
     ang = jax.random.uniform(keys[8], (b,), minval=-180.0, maxval=180.0)
-    images = gate(keys[9], p_rot, apply_affine(images, ang, ones2), images)
-
-    # 6. anisotropic log-normal scaling, per image per axis (ada.py:165-182)
     s_aniso = jnp.exp(jax.random.normal(keys[10], (b, 2)) * _LOGNORMAL_SIGMA)
-    images = gate(keys[11], p, apply_affine(images, jnp.zeros((b,)), s_aniso), images)
-
-    # 7. arbitrary rotation again (ada.py:183-199)
     ang2 = jax.random.uniform(keys[12], (b,), minval=-180.0, maxval=180.0)
-    images = gate(keys[13], p_rot, apply_affine(images, ang2, ones2), images)
+
+    # inverse of (iso -> rot1 -> aniso -> rot2), factors gated per image
+    inv = (
+        gated_mat(keys[7], p, _scale_mat(1.0 / jnp.tile(s_iso, (1, 2))))
+        @ gated_mat(keys[9], p_rot, _rot_mat(-ang))
+        @ gated_mat(keys[11], p, _scale_mat(1.0 / s_aniso))
+        @ gated_mat(keys[13], p_rot, _rot_mat(-ang2))
+    )
+    images = apply_affine_matrix(images, inv, padding="reflect")
     return images
 
 

@@ -135,6 +135,14 @@ class Trainer:
 
     def train(self) -> TrainState:
         cfg = self.cfg
+        # live progress telemetry, mirroring the reference's tqdm bar with
+        # loss/best-FVD description (model_wrapper.py:136, 448-451)
+        try:
+            from tqdm import tqdm
+
+            progress = tqdm(total=self.epochs * len(self.dataset))
+        except Exception:
+            progress = None
         for epoch in range(self.epochs):
             self.epoch = epoch
             wrong_order, trap, cm_prob = self._epoch_flags(epoch)
@@ -151,8 +159,24 @@ class Trainer:
                 )
                 self.state, metrics = self.step_fn(self.state, batch, flags)
                 n_seqs += batch.shape[0]
-                for name, value in jax.device_get(metrics).items():
+                host_metrics = jax.device_get(metrics)
+                for name, value in host_metrics.items():
                     self.logger.log_metric(name, value)
+                if progress is not None:
+                    progress.update(1)
+                    d_loss = (
+                        float(host_metrics["loss_discriminator_real"])
+                        + float(host_metrics["loss_discriminator_fake"])
+                        + float(host_metrics["loss_discriminator_real_pixel_wise"])
+                        + float(host_metrics["loss_discriminator_fake_pixel_wise"])
+                    )
+                    g_loss = float(host_metrics["loss_generator"]) + float(
+                        host_metrics["loss_generator_pixel_wise"]
+                    )
+                    progress.set_description(
+                        f"Loss D={d_loss:.3f}, Loss G={g_loss:.3f}, "
+                        f"Best FVD={self.best_fvd:.3f}"
+                    )
             dt = time.perf_counter() - t0
             self.logger.log_metric("seqs_per_sec", n_seqs / max(dt, 1e-9))
 
@@ -162,6 +186,8 @@ class Trainer:
             self.logger.save()
             if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0:
                 self.ckpt.save(int(jax.device_get(self.state.step)), self.state)
+        if progress is not None:
+            progress.close()
         return self.state
 
     def _save_sample_grids(self, epoch: int) -> None:

@@ -1,0 +1,37 @@
+"""Pallas upfirdn2d stencil kernel vs the XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_stylegan_tpu.ops.upfirdn2d import upfirdn2d, upfirdn2d_xla
+
+
+@pytest.mark.parametrize(
+    "up,pad,k,h,w",
+    [
+        (1, (2, 2), 4, 16, 16),   # blur before k3 conv
+        (1, (2, 1), 4, 17, 9),    # blur after upsampling modconv
+        (2, (2, 1), 4, 8, 8),     # Upsample module
+        (2, (1, 1), 2, 5, 7),
+        (1, (1, 1), 3, 32, 16),
+    ],
+)
+def test_pallas_upfirdn_matches_xla(rng, up, pad, k, h, w):
+    x = jnp.array(rng.normal(size=(2, h, w, 8)).astype(np.float32))
+    taps = jnp.array(rng.normal(size=(k, k)).astype(np.float32))
+    ref = upfirdn2d_xla(x, taps, up=up, down=1, pad=pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = upfirdn2d(x, taps, up=up, down=1, pad=pad, impl="pallas")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_upfirdn_negative_pad_falls_back(rng):
+    x = jnp.array(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    taps = jnp.array(rng.normal(size=(4, 4)).astype(np.float32))
+    ref = upfirdn2d_xla(x, taps, up=1, down=1, pad=(-1, 2))
+    got = upfirdn2d(x, taps, up=1, down=1, pad=(-1, 2), impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
