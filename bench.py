@@ -15,8 +15,9 @@ import os
 import time
 
 
-def run_bench(candidates=(("bfloat16", 24), ("bfloat16", 16), ("float32", 16),
-                          ("float32", 8)),
+def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
+                          ("bfloat16", 16, True), ("float32", 16, True),
+                          ("float32", 8, True)),
               steps: int = 12, warmup: int = 2):
     import jax
     import jax.numpy as jnp
@@ -30,10 +31,10 @@ def run_bench(candidates=(("bfloat16", 24), ("bfloat16", 16), ("float32", 16),
     from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
 
     errors = []
-    for dtype, batch in candidates:
+    for dtype, batch, remat in candidates:
         try:
-            gcfg = GeneratorConfig(compute_dtype=dtype)
-            dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype)
+            gcfg = GeneratorConfig(compute_dtype=dtype, remat=remat)
+            dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype, remat=remat)
             generator, discriminator = Generator(gcfg), Discriminator(dcfg)
             cfg = TrainingConfig(batch_size=batch, compute_dtype=dtype)
             state = create_train_state(
@@ -65,13 +66,16 @@ def run_bench(candidates=(("bfloat16", 24), ("bfloat16", 16), ("float32", 16),
             return {
                 "batch": batch,
                 "dtype": dtype,
+                "remat": remat,
                 "seqs_per_sec_per_chip": batch * steps / dt / n_chips,
                 "step_ms": dt / steps * 1e3,
                 "n_chips": n_chips,
                 "backend": jax.default_backend(),
             }
         except Exception as exc:  # OOM / compile failure: back off
-            errors.append(f"{dtype}/b{batch}: {type(exc).__name__}: {str(exc)[:200]}")
+            errors.append(
+                f"{dtype}/b{batch}/remat={remat}: "
+                f"{type(exc).__name__}: {str(exc)[:200]}")
     raise RuntimeError("all bench configs failed:\n" + "\n".join(errors))
 
 

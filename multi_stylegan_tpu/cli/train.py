@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Reproduce the reference's tower-2 output-block wiring.")
     parser.add_argument("--no_validation_metrics", default=False, action="store_true",
                         help="Skip FID/FVD/IS validation (e.g. without pretrained weights).")
+    parser.add_argument("--dtype", default="float32", type=str,
+                        choices=("float32", "bfloat16"),
+                        help="Activation compute dtype (params stay fp32).")
+    parser.add_argument("--no_remat", default=False, action="store_true",
+                        help="Disable block rematerialization (more memory, "
+                             "faster backward; fits at bfloat16).")
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a jax platform (e.g. 'cpu'); the axon TPU "
                              "plugin ignores JAX_PLATFORMS, this flag works.")
@@ -77,11 +83,16 @@ def main(argv=None) -> None:
     from multi_stylegan_tpu.train.loop import Trainer
 
     if args.tiny:
-        gcfg = tiny_generator_config(compat_tower2_output_bug=args.compat_tower2_bug)
-        dcfg = tiny_discriminator_config()
+        gcfg = tiny_generator_config(
+            compat_tower2_output_bug=args.compat_tower2_bug,
+            compute_dtype=args.dtype, remat=not args.no_remat)
+        dcfg = tiny_discriminator_config(
+            compute_dtype=args.dtype, remat=not args.no_remat)
     else:
-        gcfg = GeneratorConfig(compat_tower2_output_bug=args.compat_tower2_bug)
-        dcfg = DiscriminatorConfig(no_rfp=True)
+        gcfg = GeneratorConfig(compat_tower2_output_bug=args.compat_tower2_bug,
+                               compute_dtype=args.dtype, remat=not args.no_remat)
+        dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=args.dtype,
+                                   remat=not args.no_remat)
 
     cfg = TrainingConfig(
         batch_size=args.batch_size,

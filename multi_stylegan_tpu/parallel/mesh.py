@@ -65,6 +65,17 @@ def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, sharding)
 
 
+def per_host_batch(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
+    """Assemble a globally batch-sharded array from per-host local data
+    (multi-host input pipelines, SURVEY.md §2.5): each process contributes
+    its shard of the global batch.  On a single host this equals
+    :func:`shard_batch`."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
+
+
 def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True):
     """jit the fused train step with explicit shardings: state replicated,
     batch sharded over the data axis.  Gradient all-reduce compiles to XLA

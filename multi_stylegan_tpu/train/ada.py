@@ -24,6 +24,7 @@ rotation uses zeros padding (kornia ``rotate`` default).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -154,13 +155,8 @@ def _scale_mat(scale_xy: jax.Array) -> jax.Array:
     )
 
 
-def apply_affine_matrix(
-    images: jax.Array, inv_mat: jax.Array, padding: str = "reflect"
-) -> jax.Array:
-    """Warp by a per-image 2x2 *inverse* map about the image center
-    (0.5 * extent, matching ada.py:137-138): src = c + inv_mat @ (dst - c),
-    bilinear sampling.  Differentiable w.r.t. ``images``."""
-    b, h, w, _ = images.shape
+def _warp_coords(shape, inv_mat):
+    b, h, w = shape
     cy, cx = 0.5 * h, 0.5 * w
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -169,7 +165,112 @@ def apply_affine_matrix(
     m = inv_mat[:, :, :, None, None]
     sxc = cx + m[:, 0, 0] * dx + m[:, 0, 1] * dy
     syc = cy + m[:, 1, 0] * dx + m[:, 1, 1] * dy
+    return sxc, syc
+
+
+def _warp(images, inv_mat, padding):
+    sxc, syc = _warp_coords(images.shape[:3], inv_mat)
     return _bilinear_gather(images, sxc, syc, padding)
+
+
+def _invert_2x2(m: jax.Array) -> jax.Array:
+    det = m[:, 0, 0] * m[:, 1, 1] - m[:, 0, 1] * m[:, 1, 0]
+    inv = jnp.stack(
+        [jnp.stack([m[:, 1, 1], -m[:, 0, 1]], -1),
+         jnp.stack([-m[:, 1, 0], m[:, 0, 0]], -1)], -2
+    )
+    return inv / det[:, None, None]
+
+
+def _warp_adjoint_gather(g: jax.Array, inv_mat: jax.Array) -> jax.Array:
+    """Adjoint of the bilinear warp as a GATHER (TPU scatters serialize and
+    dominated the generator step).  Input pixel i receives cotangent from the
+    output pixels o whose bilinear source lies within 1 of i; those o live in
+    a 5x5 window around the forward-mapped position of i.  Exact for zeros
+    padding and for the interior under reflect padding; reflected border
+    tails (a few-pixel band) are dropped - documented approximation."""
+    b, h, w, c = g.shape
+    cy, cx = 0.5 * h, 0.5 * w
+    fwd = _invert_2x2(inv_mat)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx = (xs - cx)[None]
+    dy = (ys - cy)[None]
+    f = fwd[:, :, :, None, None]
+    ox_star = cx + f[:, 0, 0] * dx + f[:, 0, 1] * dy  # [B, H, W]
+    oy_star = cy + f[:, 1, 0] * dx + f[:, 1, 1] * dy
+    ox0 = jnp.round(ox_star)
+    oy0 = jnp.round(oy_star)
+    m = inv_mat[:, :, :, None, None]
+    gflat = g.reshape(b, h * w, c)
+    acc = jnp.zeros_like(g)
+    for ddy in range(-2, 3):
+        for ddx in range(-2, 3):
+            oy = oy0 + ddy
+            ox = ox0 + ddx
+            # exact source of candidate output pixel o
+            sx = cx + m[:, 0, 0] * (ox - cx) + m[:, 0, 1] * (oy - cy)
+            sy = cy + m[:, 1, 0] * (ox - cx) + m[:, 1, 1] * (oy - cy)
+            wgt = (
+                jnp.maximum(0.0, 1.0 - jnp.abs(sx - xs[None]))
+                * jnp.maximum(0.0, 1.0 - jnp.abs(sy - ys[None]))
+            )
+            valid = (oy >= 0) & (oy <= h - 1) & (ox >= 0) & (ox <= w - 1)
+            wgt = jnp.where(valid, wgt, 0.0)
+            oyc = jnp.clip(oy, 0, h - 1).astype(jnp.int32)
+            oxc = jnp.clip(ox, 0, w - 1).astype(jnp.int32)
+            lin = (oyc * w + oxc).reshape(b, h * w)[..., None]
+            vals = jnp.take_along_axis(gflat, lin, axis=1, mode="clip")
+            acc = acc + vals.reshape(b, h, w, c) * wgt[..., None].astype(g.dtype)
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_fast_grad(images, inv_mat, padding):
+    return _warp(images, inv_mat, padding)
+
+
+def _warp_fast_fwd(images, inv_mat, padding):
+    return _warp(images, inv_mat, padding), inv_mat
+
+
+def _warp_fast_bwd(padding, inv_mat, g):
+    return _warp_adjoint_gather(g, inv_mat), jnp.zeros_like(inv_mat)
+
+
+_warp_fast_grad.defvjp(_warp_fast_fwd, _warp_fast_bwd)
+
+
+# The gather adjoint is EXACT for zeros padding (used for the 90-degree
+# rotations).  For reflect padding it drops reflected contributions - exact
+# on the interior for small warps but lossy for large rotations (reflection
+# reaches deep into the image), so reflect warps default to the true
+# autodiff transpose (an XLA scatter); opt into the fast interior-exact
+# adjoint with set_ada_fast_grad(True) when border-gradient fidelity is not
+# a concern.
+_FAST_GRAD_REFLECT = False
+
+
+def set_ada_fast_grad(enabled: bool) -> None:
+    global _FAST_GRAD_REFLECT
+    _FAST_GRAD_REFLECT = bool(enabled)
+
+
+def apply_affine_matrix(
+    images: jax.Array,
+    inv_mat: jax.Array,
+    padding: str = "reflect",
+    fast_grad: bool = None,
+) -> jax.Array:
+    """Warp by a per-image 2x2 *inverse* map about the image center
+    (0.5 * extent, matching ada.py:137-138): src = c + inv_mat @ (dst - c),
+    bilinear sampling.  Differentiable w.r.t. ``images``; ``fast_grad`` uses
+    the gather-based adjoint (see :func:`_warp_adjoint_gather`)."""
+    if fast_grad is None:
+        fast_grad = padding == "zeros" or _FAST_GRAD_REFLECT
+    if fast_grad:
+        return _warp_fast_grad(images, inv_mat, padding)
+    return _warp(images, inv_mat, padding)
 
 
 def apply_affine(
@@ -248,6 +349,19 @@ def augmentation_pipeline(rng: jax.Array, images: jax.Array, p: jax.Array) -> ja
     )
     images = apply_affine_matrix(images, inv, padding="reflect")
     return images
+
+
+def integer_translation(rng: jax.Array, images: jax.Array,
+                        max_fraction: float = 0.125) -> jax.Array:
+    """Circular integer translation by up to +-max_fraction of the extent,
+    one shift per call (ada.py:203-213; torch.roll == circular)."""
+    h, w = images.shape[1], images.shape[2]
+    kh, kw = jax.random.split(rng)
+    sh = jax.random.randint(kh, (), -max(1, int(max_fraction * h)),
+                            max(1, int(max_fraction * h)) + 1)
+    sw = jax.random.randint(kw, (), -max(1, int(max_fraction * w)),
+                            max(1, int(max_fraction * w)) + 1)
+    return jnp.roll(images, (sh, sw), axis=(1, 2))
 
 
 def augment_sequences(rng: jax.Array, images: jax.Array, p: jax.Array) -> jax.Array:

@@ -70,10 +70,16 @@ def make_generator_optimizer(cfg: TrainingConfig) -> optax.GradientTransformatio
     )
 
 
-def make_discriminator_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+def make_discriminator_optimizer(
+    cfg: TrainingConfig, lr_schedule=None
+) -> optax.GradientTransformation:
+    """``lr_schedule``: optional optax schedule (step -> lr), the TPU-native
+    form of the reference's optional discriminator lr scheduler
+    (model_wrapper.py:40, 193-195; default None there too)."""
+    lr = lr_schedule if lr_schedule is not None else cfg.lr_discriminator
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adam(cfg.lr_discriminator, b1=cfg.adam_beta1, b2=cfg.adam_beta2),
+        optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2),
     )
 
 

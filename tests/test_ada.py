@@ -103,3 +103,38 @@ def test_augment_sequences_shape_roundtrip():
     # p=0 roundtrip preserves content exactly (flatten/restore is lossless)
     y0 = augment_sequences(jax.random.key(8), x, jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-5)
+
+
+def test_fast_grad_adjoint_matches_autodiff():
+    """The gather-based warp adjoint equals the true autodiff transpose:
+    exactly for zeros padding, on the interior for reflect padding."""
+    from multi_stylegan_tpu.train.ada import apply_affine_matrix, _rot_mat, _scale_mat
+
+    rng = jax.random.key(0)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+
+    for padding in ("zeros", "reflect"):
+        if padding == "zeros":
+            # exact for ANY transform under zeros padding
+            angles = jnp.array([37.0, -140.0])
+        else:
+            # reflect: interior-exact only while reflection stays in a
+            # border band -> small warps
+            angles = jnp.array([8.0, -12.0])
+        inv = _scale_mat(jnp.array([[1.05, 0.96], [0.92, 1.06]])) @ _rot_mat(angles)
+        def loss_fast(x):
+            return jnp.sum(apply_affine_matrix(x, inv, padding, fast_grad=True) ** 2)
+
+        def loss_exact(x):
+            return jnp.sum(apply_affine_matrix(x, inv, padding, fast_grad=False) ** 2)
+
+        # forwards identical
+        np.testing.assert_allclose(float(loss_fast(x)), float(loss_exact(x)), rtol=1e-5)
+        gf = np.asarray(jax.grad(loss_fast)(x))
+        ge = np.asarray(jax.grad(loss_exact)(x))
+        if padding == "zeros":
+            np.testing.assert_allclose(gf, ge, rtol=1e-4, atol=1e-4)
+        else:
+            # interior exact; reflected border tails are dropped by design
+            np.testing.assert_allclose(gf[:, 4:-4, 4:-4], ge[:, 4:-4, 4:-4],
+                                       rtol=1e-4, atol=1e-4)
