@@ -80,10 +80,27 @@ def make_train_step(
     d_opt = make_discriminator_optimizer(cfg)
     gcfg = generator.config
 
+    # The second-order regularizers (R1, path-length) run through f32 model
+    # variants regardless of compute_dtype: their grad-of-grad overflows in
+    # bfloat16 (observed: finite penalty, non-finite parameter grads), and
+    # they fire only every `lazy_*` steps so the f32 cost is amortized away.
+    # Param trees are dtype-independent, so the same params apply.
+    import dataclasses as _dc
+
+    generator32 = type(generator)(
+        _dc.replace(generator.config, compute_dtype="float32", remat=True)
+    )
+    discriminator32 = type(discriminator)(
+        _dc.replace(discriminator.config, compute_dtype="float32", remat=True)
+    )
+
     # ------------------------------------------------------------- applies
 
     def d_raw(d_params, images):
         return discriminator.apply({"params": d_params}, images)
+
+    def d_raw32(d_params, images):
+        return discriminator32.apply({"params": d_params}, images)
 
     def d_ada(d_params, images, rng, p):
         return d_raw(d_params, augment_sequences(rng, images, p))
@@ -103,6 +120,9 @@ def make_train_step(
 
     def synthesize(g_vars, wplus, noise_list):
         return generator.apply(g_vars, wplus, noise_list, method=Generator.synthesize)
+
+    def synthesize32(g_vars, wplus, noise_list):
+        return generator32.apply(g_vars, wplus, noise_list, method=Generator.synthesize)
 
     def sample_fakes(g_vars, rng, batch):
         k_w, k_n = jax.random.split(rng)
@@ -195,10 +215,11 @@ def make_train_step(
 
     def r1_step(state: TrainState, real: jax.Array):
         def loss_fn(d_params):
-            pen = losses.r1_penalty(lambda x: d_raw(d_params, x), real)
+            # f32 discriminator: the R1 grad-of-grad overflows in bf16
+            pen = losses.r1_penalty(lambda x: d_raw32(d_params, x), real)
             # predictions re-used by the cut-mix consistency target when R1
             # ran this step (model_wrapper.py:314 overwrites them).
-            _, pr_p = d_raw(d_params, real)
+            _, pr_p = d_raw32(d_params, real)
             return cfg.w_discriminator_regularization_r1 * pen, (pen, lax.stop_gradient(pr_p))
 
         (_, (pen, pr_p)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
@@ -303,9 +324,10 @@ def make_train_step(
         noise_list = generator.random_noise(bs, k_n)
 
         def loss_fn(g_params):
+            # f32 synthesis for the path-length grad-of-grad (see note above)
             g_vars = {"params": g_params, "noises": state.g_noises}
             wplus = build_wplus(g_vars, k_w, bs)
-            synth = lambda wp: synthesize(g_vars, wp, noise_list)
+            synth = lambda wp: synthesize32(g_vars, wp, noise_list)
             grads_pl = losses.path_length_grads(synth, wplus, k_pl)
             pen, pl, new_mean = losses.path_length_penalty(
                 grads_pl, state.mean_path_length, cfg.path_length_decay
