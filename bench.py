@@ -18,7 +18,7 @@ import time
 def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
                           ("bfloat16", 16, True), ("float32", 16, True),
                           ("float32", 8, True)),
-              steps: int = 12, warmup: int = 2):
+              steps: int = 16, warmup: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -40,26 +40,34 @@ def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
             state = create_train_state(
                 jax.random.key(0), generator, discriminator, cfg
             )
-            step_fn = jax.jit(
-                make_train_step(
-                    generator, discriminator, cfg,
-                    top_k_start_iteration=10**6, top_k_final_iteration=10**6 + 1,
-                ),
-                donate_argnums=(0,),
+            step_fn = make_train_step(
+                generator, discriminator, cfg,
+                top_k_start_iteration=10**6, top_k_final_iteration=10**6 + 1,
             )
+            # split mode, like the Trainer: main program + lazy regularizer
+            # programs on the reference's every-16 cadence
+            main = jax.jit(step_fn.main_step, donate_argnums=(0,))
+            r1 = jax.jit(step_fn.r1_update, donate_argnums=(0,))
+            pl = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
             flags = StepFlags.off()
             data = jax.random.uniform(
                 jax.random.key(1), (batch, 2, 3, *gcfg.resolution)
             )
             for _ in range(warmup):
-                state, metrics = step_fn(state, data, flags)
+                state, metrics = main(state, data, flags)
+            state, _ = r1(state, data)  # compile reg programs outside timing
+            state, _, _ = pl(state)
             # NOTE: on the tunneled axon runtime, block_until_ready can ack
             # before execution completes; a host scalar fetch is the only
             # trustworthy barrier.
             float(metrics["loss_generator"])
+            lazy = cfg.lazy_discriminator_regularization  # 16
             t0 = time.perf_counter()
-            for _ in range(steps):
-                state, metrics = step_fn(state, data, flags)
+            for i in range(1, steps + 1):
+                state, metrics = main(state, data, flags)
+                if i % lazy == 0:
+                    state, _ = r1(state, data)
+                    state, _, _ = pl(state)
             float(metrics["loss_generator"])
             dt = time.perf_counter() - t0
             n_chips = jax.device_count()

@@ -29,8 +29,12 @@ def minibatch_std_dev(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     them per device shard.  The global statistic is the mathematically
     intended one and is deterministic; divergence documented.
     """
-    mu = jnp.mean(x, axis=0, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=0)
+    # batch statistics in f32: under bfloat16, tiny variances quantize to the
+    # eps clamp where sqrt's second derivative explodes (R1's grad-of-grad
+    # produced non-finite discriminator gradients).
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=0)
     std = jnp.sqrt(jnp.maximum(var, eps))
     stat = jnp.mean(std).astype(x.dtype)
     b, h, w, _ = x.shape

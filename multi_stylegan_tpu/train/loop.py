@@ -76,12 +76,30 @@ class Trainer:
         if not config.top_k:
             # schedule degenerates to v=1 via start > total steps
             pass
+        # Split mode: three independent programs (main / R1 / path-length)
+        # with host-side lazy scheduling - the fused single program cannot
+        # hold the f32 second-order branches at the full 256^2 config.
         if mesh is not None:
-            from multi_stylegan_tpu.parallel import make_sharded_train_step
+            from multi_stylegan_tpu.parallel import batch_sharding, replicated
 
-            self.step_fn = make_sharded_train_step(step_fn, mesh)
+            rep = replicated(mesh)
+            bsh = batch_sharding(mesh)
+            self.main_step = jax.jit(
+                step_fn.main_step, in_shardings=(rep, bsh, rep),
+                out_shardings=(rep, rep), donate_argnums=(0,),
+            )
+            self.r1_step = jax.jit(
+                step_fn.r1_update, in_shardings=(rep, bsh),
+                out_shardings=(rep, rep), donate_argnums=(0,),
+            )
+            self.pl_step = jax.jit(
+                step_fn.path_length_update, in_shardings=(rep,),
+                out_shardings=(rep, rep, rep), donate_argnums=(0,),
+            )
         else:
-            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+            self.main_step = jax.jit(step_fn.main_step, donate_argnums=(0,))
+            self.r1_step = jax.jit(step_fn.r1_update, donate_argnums=(0,))
+            self.pl_step = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
 
         if state is None:
             state = create_train_state(
@@ -143,6 +161,7 @@ class Trainer:
             progress = tqdm(total=self.epochs * len(self.dataset))
         except Exception:
             progress = None
+        host_step = int(jax.device_get(self.state.step))
         for epoch in range(self.epochs):
             self.epoch = epoch
             wrong_order, trap, cm_prob = self._epoch_flags(epoch)
@@ -150,14 +169,31 @@ class Trainer:
             n_seqs = 0
             for batch in self.dataset:
                 batch = jnp.asarray(batch) if not isinstance(batch, jax.Array) else batch
+                host_step += 1
+                lazy_d = host_step % cfg.lazy_discriminator_regularization == 0
+                lazy_g = host_step % cfg.lazy_generator_regularization == 0
                 flags = StepFlags(
                     wrong_order=jnp.asarray(wrong_order),
                     trap_weight=jnp.asarray(trap),
                     # the reference draws this per batch on the host
                     # (model_wrapper.py:331-332)
                     do_cut_mix=jnp.asarray(self._py_rng.random() <= cm_prob),
+                    do_ema=jnp.asarray(not lazy_g),
                 )
-                self.state, metrics = self.step_fn(self.state, batch, flags)
+                self.state, metrics = self.main_step(self.state, batch, flags)
+                metrics = dict(metrics)
+                if lazy_d:
+                    self.state, r1_pen = self.r1_step(self.state, batch)
+                    metrics["loss_discriminator_regularization"] = r1_pen
+                else:
+                    metrics["loss_discriminator_regularization"] = 0.0
+                if lazy_g:
+                    self.state, pl_pen, pl_len = self.pl_step(self.state)
+                    metrics["loss_path_length_regularization"] = pl_pen
+                    metrics["path_length"] = pl_len
+                else:
+                    metrics["loss_path_length_regularization"] = 0.0
+                    metrics["path_length"] = 0.0
                 n_seqs += batch.shape[0]
                 host_metrics = jax.device_get(metrics)
                 for name, value in host_metrics.items():

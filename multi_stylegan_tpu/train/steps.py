@@ -44,11 +44,15 @@ from multi_stylegan_tpu.train.state import (
 @flax.struct.dataclass
 class StepFlags:
     """Per-step traced control (host computes these from the epoch schedule,
-    model_wrapper.py:272, 290-291, 331-332)."""
+    model_wrapper.py:272, 290-291, 331-332).  ``do_ema`` is used by the
+    split-mode main step: on path-length steps the EMA is applied after the
+    PL update instead (the reference EMAs once per batch, after ALL updates,
+    model_wrapper.py:446)."""
 
     wrong_order: jax.Array  # bool: append time-permuted reals to fakes
     trap_weight: jax.Array  # bool: apply the trap weights map to pixel losses
     do_cut_mix: jax.Array  # bool: run the cut-mix aug + consistency updates
+    do_ema: jax.Array = flax.struct.field(default_factory=lambda: jnp.asarray(True))
 
     @classmethod
     def off(cls) -> "StepFlags":
@@ -402,7 +406,66 @@ def make_train_step(
         )
         return state, metrics
 
-    # expose sub-steps for unit tests
+    # ---------------------------------------------------------- split mode
+    #
+    # At the full 256^2 config the single fused program (which must reserve
+    # memory for the f32 second-order branches) exceeds compile/HBM limits.
+    # Split mode compiles three independent programs - the per-batch main
+    # step (D + cut-mix + G + EMA) and the two lazy regularizer updates -
+    # with the HOST applying the every-16 schedule, exactly the reference's
+    # own structure (model_wrapper.py:307, 418).  Divergence: the reference
+    # runs R1 between the D and G updates and reuses its predictions for the
+    # cut-mix target; split mode runs both regularizers after the main step
+    # (a 1-in-16-step ordering difference on parameter state).
+
+    def main_step(state: TrainState, real: jax.Array, flags: StepFlags):
+        b = real.shape[0]
+        step = state.step + 1
+        state = state.replace(step=step)
+        base = jax.random.fold_in(state.rng, step)
+        k_d, k_cm, k_g, _ = jax.random.split(base, 4)
+
+        state, fakes, real_pp, fake_pp, m_d = d_step(state, real, flags, k_d)
+        state, l_cm_aug, l_cm_reg = lax.cond(
+            flags.do_cut_mix,
+            lambda s: cut_mix_step(s, real, fakes, real_pp, fake_pp, k_cm),
+            lambda s: (s, jnp.asarray(0.0), jnp.asarray(0.0)),
+            state,
+        )
+        state, m_g = g_step(state, b, flags, k_g)
+        # EMA here unless the host will run the path-length update (which
+        # EMAs after its own parameter change, matching the reference's
+        # once-per-batch EMA after all updates, model_wrapper.py:446)
+        ema = ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
+        state = state.replace(
+            g_ema_params=jax.tree.map(
+                lambda e_new, e_old: jnp.where(flags.do_ema, e_new, e_old),
+                ema, state.g_ema_params,
+            )
+        )
+        metrics = dict(m_d)
+        metrics.update(m_g)
+        metrics.update(
+            loss_cut_mix_augmentation=l_cm_aug,
+            loss_cut_mix_regularization=l_cm_reg,
+            ada_p=state.ada.p,
+            ada_r=state.ada.last_r,
+        )
+        return state, metrics
+
+    def r1_update(state: TrainState, real: jax.Array):
+        state, pen, _ = r1_step(state, real)
+        return state, pen
+
+    def path_length_update(state: TrainState):
+        k_pl = jax.random.fold_in(jax.random.fold_in(state.rng, state.step), 17)
+        state, pen, pl = path_length_step(state, cfg.batch_size, k_pl)
+        state = state.replace(
+            g_ema_params=ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
+        )
+        return state, pen, pl
+
+    # expose sub-steps for unit tests and split-mode drivers
     train_step.d_step = d_step
     train_step.g_step = g_step
     train_step.r1_step = r1_step
@@ -410,4 +473,7 @@ def make_train_step(
     train_step.path_length_step = path_length_step
     train_step.sample_fakes = sample_fakes
     train_step.build_wplus = build_wplus
+    train_step.main_step = main_step
+    train_step.r1_update = r1_update
+    train_step.path_length_update = path_length_update
     return train_step
