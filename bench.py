@@ -22,6 +22,11 @@ def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: full-size programs take 5-10 min to
+    # compile through the remote helper (which degrades under load); cached
+    # executables survive process restarts
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
     from multi_stylegan_tpu.models import Discriminator, Generator
     from multi_stylegan_tpu.models.config import (
         DiscriminatorConfig,

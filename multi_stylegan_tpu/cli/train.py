@@ -15,6 +15,7 @@ Additional flags: --synthetic (fixture data), --tiny (32px debug config),
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,6 +69,8 @@ def main(argv=None) -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MSG_TPU_CACHE", "/root/.jax_cache"))
 
     from multi_stylegan_tpu.data import BatchLoader, SyntheticTLFMDataset, TLFMDataset
     from multi_stylegan_tpu.io import Logger
