@@ -9,7 +9,6 @@ pure jnp (differentiable, jit-able)."""
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ This port is inference-only: no aux head, no dropout randomness.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Sequence, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ Returns ``(scalar [B, 1], pixel-wise [B, 1, 1, H, W])``
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

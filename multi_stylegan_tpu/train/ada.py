@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import flax.struct
 import jax

@@ -17,7 +17,7 @@ multi_stylegan_generator.py:97-112).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any
 
 import flax.struct
 import jax

@@ -19,8 +19,7 @@ Sub-steps are also exposed individually for testing.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import flax.struct
 import jax
