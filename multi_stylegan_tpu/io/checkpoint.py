@@ -21,6 +21,16 @@ def _abs(path: str) -> str:
     return os.path.abspath(os.path.expanduser(path))
 
 
+def _to_abstract(leaf):
+    """ShapeDtypeStruct from any array-ish leaf (fresh flax inits can hold
+    numpy-backed scalars without a .sharding)."""
+    import jax.numpy as jnp
+
+    if not hasattr(leaf, "sharding"):
+        leaf = jnp.asarray(leaf)
+    return ocp.utils.to_shape_dtype_struct(leaf)
+
+
 def save_checkpoint(path: str, pytree: Any) -> None:
     """Save any pytree (e.g. a TrainState) to ``path`` (a directory)."""
     with ocp.StandardCheckpointer() as ckptr:
@@ -33,7 +43,7 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     orbax restores as raw arrays in saved structure."""
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
-            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            target = jax.tree.map(_to_abstract, template)
             return ckptr.restore(_abs(path), target)
         return ckptr.restore(_abs(path))
 
@@ -59,7 +69,7 @@ class CheckpointManager:
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()
-        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        target = jax.tree.map(_to_abstract, state_template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
     def close(self):

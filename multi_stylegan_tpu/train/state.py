@@ -102,6 +102,10 @@ def create_train_state(
     d_vars = discriminator.init(k_d, jnp.zeros((2, c, t, h, w)))
     g_opt = make_generator_optimizer(train_cfg)
     d_opt = make_discriminator_optimizer(train_cfg)
+    # commit every leaf to a device array (un-jitted flax init can yield
+    # numpy-backed scalars, which break sharding-aware checkpoint restore)
+    g_vars = jax.tree.map(jnp.asarray, g_vars)
+    d_vars = jax.tree.map(jnp.asarray, d_vars)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         rng=k_run,
