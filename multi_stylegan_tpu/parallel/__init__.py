@@ -6,6 +6,7 @@ from multi_stylegan_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
     make_sharded_train_step,
+    per_host_batch,
     replicate_state,
     replicated,
     shard_batch,
