@@ -193,10 +193,8 @@ def _interleave_zeros(x: jax.Array, axis: int, up: int) -> jax.Array:
     return stacked.reshape(new_shape)
 
 
-def _make_upfirdn_kernel(kflip, up, d0h, d0w, th, hin, wo, wp):
-    kh, kw = kflip.shape
-
-    def kernel(x_hbm, o_ref, scratch, sem):
+def _make_upfirdn_kernel(kh, kw, up, d0h, d0w, th, hin, wo, wp):
+    def kernel(kf_ref, x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
         i = pl.program_id(1)
         s0 = i * (th // up)
@@ -210,12 +208,9 @@ def _make_upfirdn_kernel(kflip, up, d0h, d0w, th, hin, wo, wp):
         acc = None
         for ky in range(kh):
             for kx in range(kw):
-                tap = float(kflip[ky, kx])
-                if tap == 0.0:
-                    continue
                 sl = (
                     xup[ky + d0h : ky + d0h + th, kx + d0w : kx + d0w + wo, :]
-                    * tap
+                    * kf_ref[ky, kx]
                 )
                 acc = sl if acc is None else acc + sl
         o_ref[0] = acc.astype(o_ref.dtype)
@@ -223,7 +218,77 @@ def _make_upfirdn_kernel(kflip, up, d0h, d0w, th, hin, wo, wp):
     return kernel
 
 
+# Gradient structure mirrors the reference autograd pair (UpFirDn2d +
+# UpFirDn2dBackward, op_static/upfirdn2d.py:22-145): the backward is its OWN
+# custom-VJP function whose backward is the original upfirdn applied to the
+# cotangent - this is what makes grad-of-grad (R1 / path-length) work.  The
+# backward passes run through the XLA formulation (down == up > 1 is outside
+# the Pallas kernel's fast path).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _upfirdn_grad(g, kernel, up, pad, in_hw):
+    from multi_stylegan_tpu.ops.upfirdn2d import upfirdn2d_xla
+
+    kh, kw = kernel.shape
+    py0, py1, px0, px1 = pad
+    in_h, in_w = in_hw
+    out_h, out_w = g.shape[1], g.shape[2]
+    # gradient padding (upfirdn2d.py:114-119); the forward had down == 1
+    g_py0 = kh - py0 - 1
+    g_px0 = kw - px0 - 1
+    g_py1 = in_h * up - out_h + py0 - up + 1
+    g_px1 = in_w * up - out_w + px0 - up + 1
+    # upfirdn2d's 4-tuple pad order is (x0, x1, y0, y1) (reference CUDA entry)
+    return upfirdn2d_xla(
+        g, jnp.flip(kernel, (0, 1)), up=1, down=up,
+        pad=(g_px0, g_px1, g_py0, g_py1),
+    )
+
+
+def _upfirdn_grad_fwd(g, kernel, up, pad, in_hw):
+    return _upfirdn_grad(g, kernel, up, pad, in_hw), kernel
+
+
+def _upfirdn_grad_bwd(up, pad, in_hw, kernel, gg):
+    from multi_stylegan_tpu.ops.upfirdn2d import upfirdn2d_xla
+
+    py0, py1, px0, px1 = pad
+    # double backward = the original upfirdn applied to the cotangent
+    # (UpFirDn2dBackward.backward, upfirdn2d.py:65-88)
+    ggo = upfirdn2d_xla(gg, kernel, up=up, down=1, pad=(px0, px1, py0, py1))
+    return ggo, jnp.zeros_like(kernel)
+
+
+_upfirdn_grad.defvjp(_upfirdn_grad_fwd, _upfirdn_grad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def upfirdn2d_pallas(
+    x: jax.Array, kernel: jax.Array, up: int, pad: Tuple[int, int, int, int]
+) -> jax.Array:
+    """AD-capable Pallas upfirdn2d (forward stencil kernel + reference-style
+    double-backward-capable custom VJP, see above)."""
+    return _upfirdn2d_pallas_fwd_impl(x, kernel, up, pad)
+
+
+def _upfirdn2d_pallas_vjp_fwd(x, kernel, up, pad):
+    # call the custom_vjp function itself (not the raw impl): higher-order
+    # differentiation then re-enters the custom rule instead of trying to
+    # JVP the pallas_call
+    out = upfirdn2d_pallas(x, kernel, up, pad)
+    return out, (kernel, (x.shape[1], x.shape[2]))
+
+
+def _upfirdn2d_pallas_vjp_bwd(up, pad, residuals, g):
+    kernel, in_hw = residuals
+    return _upfirdn_grad(g, kernel, up, pad, in_hw), jnp.zeros_like(kernel)
+
+
+upfirdn2d_pallas.defvjp(_upfirdn2d_pallas_vjp_fwd, _upfirdn2d_pallas_vjp_bwd)
+
+
+def _upfirdn2d_pallas_fwd_impl(
     x: jax.Array, kernel: jax.Array, up: int, pad: Tuple[int, int, int, int]
 ) -> jax.Array:
     """NHWC upfirdn2d for up in {1, 2}, down == 1 (see module comment)."""
@@ -259,13 +324,16 @@ def upfirdn2d_pallas(
     if need_rows > xq.shape[1]:
         xq = jnp.pad(xq, ((0, 0), (0, need_rows - xq.shape[1]), (0, 0), (0, 0)))
     wp = xq.shape[2]
-    kflip = np.asarray(jnp.flip(kernel, (0, 1)))
+    kflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)
 
     out = pl.pallas_call(
-        _make_upfirdn_kernel(kflip, up, d0h, d0w, th, hin, wo, wp),
+        _make_upfirdn_kernel(kh, kw, up, d0h, d0w, th, hin, wo, wp),
         out_shape=jax.ShapeDtypeStruct((bsz, ho_pad, wo, c), x.dtype),
         grid=(bsz, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((kh, kw), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec(
             (1, th, wo, c), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -273,5 +341,5 @@ def upfirdn2d_pallas(
             pltpu.VMEM((hin, wp, c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(xq)
+    )(kflip, xq)
     return out[:, :ho]

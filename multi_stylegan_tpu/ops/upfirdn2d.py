@@ -133,8 +133,9 @@ def upfirdn2d(
 
         if pallas_kernels.HAS_PALLAS_UPFIRDN and down == 1 and up in (1, 2):
             py0, py1, px0, px1 = _normalize_pad(pad)
+            # positional call: custom_vjp's nondiff_argnums binding requires it
             return pallas_kernels.upfirdn2d_pallas(
-                x, kernel, up=up, pad=(py0, py1, px0, px1)
+                x, kernel, up, (py0, py1, px0, px1)
             )
     return upfirdn2d_xla(x, kernel, up=up, down=down, pad=pad)
 
