@@ -40,6 +40,19 @@ def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
     )
     from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
 
+    # try the last candidate that worked in this environment FIRST: failing
+    # compiles through the degraded remote helper cost ~8 minutes each
+    marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_last_good.json")
+    candidates = list(candidates)
+    try:
+        last = tuple(json.load(open(marker)))
+        if last in candidates:
+            candidates.remove(last)
+        candidates.insert(0, last)
+    except Exception:
+        pass
+
     errors = []
     for dtype, batch, remat in candidates:
         try:
@@ -80,6 +93,10 @@ def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
                     state, _, _ = pl(state)
             float(metrics["loss_generator"])
             dt = time.perf_counter() - t0
+            try:
+                json.dump([dtype, batch, remat], open(marker, "w"))
+            except Exception:
+                pass
             n_chips = jax.device_count()
             return {
                 "batch": batch,
