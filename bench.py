@@ -6,31 +6,55 @@ step (D step + ADA + lazy R1 + G step with top-k + lazy path-length + EMA),
 the BASELINE.json driver metric.  The reference publishes no runtime numbers
 (BASELINE.md): vs_baseline is reported against the previous round's value
 when BENCH_BASELINE.json exists, else 1.0.
+
+Policy (learned in round 1 on the degrading shared TPU runtime):
+  1. run the KNOWN-GOOD config first (bf16 b16 no-remat, 13.1 seqs/s/chip) so
+     a healthy runtime always reproduces at least the recorded best;
+  2. only then explore larger configs, keeping the best measurement;
+  3. if the known-good config fails (degraded runtime), walk down a fallback
+     ladder and return the first success without wasting time exploring.
+`python bench.py --prewarm` compiles the known-good + explore candidates into
+the persistent cache (/root/.jax_cache) so a later driver run skips the
+5-10 min remote compiles.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
+KNOWN_GOOD = ("bfloat16", 16, False)
+EXPLORE = (("bfloat16", 24, False), ("bfloat16", 24, True),
+           ("bfloat16", 32, True))
+FALLBACKS = (("bfloat16", 8, False), ("float32", 16, True),
+             ("bfloat16", 8, True), ("float32", 8, True),
+             ("bfloat16", 4, True))
 
-def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
-                          ("bfloat16", 16, True), ("float32", 16, True),
-                          ("float32", 8, True),
-                          # degraded-HBM fallbacks (the shared remote runtime
-                          # accumulates leaked device memory from killed
-                          # clients; smaller programs still fit)
-                          ("bfloat16", 8, False), ("bfloat16", 8, True),
-                          ("bfloat16", 4, True)),
-              steps: int = 16, warmup: int = 2):
+# bf16 peak matmul throughput per chip, for the MFU estimate.
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _peak_flops() -> float | None:
     import jax
-    import jax.numpy as jnp
 
-    # persistent compilation cache: full-size programs take 5-10 min to
-    # compile through the remote helper (which degrades under load); cached
-    # executables survive process restarts
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def _build(dtype: str, batch: int, remat: bool):
+    import jax
 
     from multi_stylegan_tpu.models import Discriminator, Generator
     from multi_stylegan_tpu.models.config import (
@@ -40,81 +64,152 @@ def run_bench(candidates=(("bfloat16", 24, False), ("bfloat16", 16, False),
     )
     from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
 
-    # try the last candidate that worked in this environment FIRST: failing
-    # compiles through the degraded remote helper cost ~8 minutes each
-    marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".bench_last_good.json")
-    candidates = list(candidates)
-    try:
-        last = tuple(json.load(open(marker)))
-        if last in candidates:
-            candidates.remove(last)
-        candidates.insert(0, last)
-    except Exception:
-        pass
+    gcfg = GeneratorConfig(compute_dtype=dtype, remat=remat)
+    dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype, remat=remat)
+    generator, discriminator = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=batch, compute_dtype=dtype)
+    state = create_train_state(jax.random.key(0), generator, discriminator, cfg)
+    step_fn = make_train_step(
+        generator, discriminator, cfg,
+        top_k_start_iteration=10**6, top_k_final_iteration=10**6 + 1,
+    )
+    # split mode, like the Trainer: main program + lazy regularizer programs
+    # on the reference's every-16 cadence
+    main = jax.jit(step_fn.main_step, donate_argnums=(0,))
+    r1 = jax.jit(step_fn.r1_update, donate_argnums=(0,))
+    pl = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
+    data = jax.random.uniform(
+        jax.random.key(1), (batch, 2, 3, *gcfg.resolution)
+    )
+    return state, main, r1, pl, StepFlags.off(), data
 
-    errors = []
-    for dtype, batch, remat in candidates:
-        try:
-            gcfg = GeneratorConfig(compute_dtype=dtype, remat=remat)
-            dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype, remat=remat)
-            generator, discriminator = Generator(gcfg), Discriminator(dcfg)
-            cfg = TrainingConfig(batch_size=batch, compute_dtype=dtype)
-            state = create_train_state(
-                jax.random.key(0), generator, discriminator, cfg
-            )
-            step_fn = make_train_step(
-                generator, discriminator, cfg,
-                top_k_start_iteration=10**6, top_k_final_iteration=10**6 + 1,
-            )
-            # split mode, like the Trainer: main program + lazy regularizer
-            # programs on the reference's every-16 cadence
-            main = jax.jit(step_fn.main_step, donate_argnums=(0,))
-            r1 = jax.jit(step_fn.r1_update, donate_argnums=(0,))
-            pl = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
-            flags = StepFlags.off()
-            data = jax.random.uniform(
-                jax.random.key(1), (batch, 2, 3, *gcfg.resolution)
-            )
-            for _ in range(warmup):
-                state, metrics = main(state, data, flags)
-            state, _ = r1(state, data)  # compile reg programs outside timing
+
+def _flops_per_step(main, r1, pl, state, data, flags, lazy: int):
+    """Amortized fp-op estimate per main step from XLA's cost analysis."""
+    try:
+        def cost(lowered):
+            an = lowered.compile().cost_analysis()
+            if isinstance(an, (list, tuple)):
+                an = an[0]
+            return float(an.get("flops", 0.0))
+
+        f = cost(main.lower(state, data, flags))
+        f += (cost(r1.lower(state, data)) + cost(pl.lower(state))) / lazy
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
+             with_flops: bool):
+    import jax
+
+    from multi_stylegan_tpu.models.config import TrainingConfig
+
+    state, main, r1, pl, flags, data = _build(dtype, batch, remat)
+    lazy = TrainingConfig().lazy_discriminator_regularization  # 16
+    flops = _flops_per_step(main, r1, pl, state, data, flags, lazy) \
+        if with_flops else None
+    for _ in range(warmup):
+        state, metrics = main(state, data, flags)
+    state, _ = r1(state, data)  # compile reg programs outside timing
+    state, _, _ = pl(state)
+    # NOTE: on the tunneled axon runtime, block_until_ready can ack before
+    # execution completes; a host scalar fetch is the only trustworthy
+    # barrier.  OOMs also surface here, not at dispatch.
+    float(metrics["loss_generator"])
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        state, metrics = main(state, data, flags)
+        if i % lazy == 0:
+            state, _ = r1(state, data)
             state, _, _ = pl(state)
-            # NOTE: on the tunneled axon runtime, block_until_ready can ack
-            # before execution completes; a host scalar fetch is the only
-            # trustworthy barrier.
-            float(metrics["loss_generator"])
-            lazy = cfg.lazy_discriminator_regularization  # 16
-            t0 = time.perf_counter()
-            for i in range(1, steps + 1):
-                state, metrics = main(state, data, flags)
-                if i % lazy == 0:
-                    state, _ = r1(state, data)
-                    state, _, _ = pl(state)
-            float(metrics["loss_generator"])
-            dt = time.perf_counter() - t0
-            try:
-                json.dump([dtype, batch, remat], open(marker, "w"))
-            except Exception:
-                pass
-            n_chips = jax.device_count()
-            return {
-                "batch": batch,
-                "dtype": dtype,
-                "remat": remat,
-                "seqs_per_sec_per_chip": batch * steps / dt / n_chips,
-                "step_ms": dt / steps * 1e3,
-                "n_chips": n_chips,
-                "backend": jax.default_backend(),
-            }
+    float(metrics["loss_generator"])
+    dt = time.perf_counter() - t0
+    n_chips = jax.device_count()
+    result = {
+        "batch": batch,
+        "dtype": dtype,
+        "remat": remat,
+        "seqs_per_sec_per_chip": batch * steps / dt / n_chips,
+        "step_ms": dt / steps * 1e3,
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+    }
+    if flops:
+        tflops = flops / (dt / steps) / 1e12 / n_chips
+        result["model_tflops_per_sec_per_chip"] = round(tflops, 1)
+        peak = _peak_flops()
+        if peak:
+            result["mfu"] = round(tflops * 1e12 / peak, 3)
+    return result
+
+
+def run_bench(steps: int = 16, warmup: int = 2,
+              explore_budget_s: float = 20 * 60):
+    import jax
+
+    # persistent compilation cache: full-size programs take 5-10 min to
+    # compile through the remote helper (which degrades under load); cached
+    # executables survive process restarts
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    t_start = time.perf_counter()
+    errors = []
+    best = None
+
+    def attempt(cand, with_flops=True):
+        nonlocal best
+        dtype, batch, remat = cand
+        try:
+            r = _measure(dtype, batch, remat, steps, warmup, with_flops)
+            if best is None or (r["seqs_per_sec_per_chip"]
+                                > best["seqs_per_sec_per_chip"]):
+                best = r
+            return True
         except Exception as exc:  # OOM / compile failure: back off
             errors.append(
                 f"{dtype}/b{batch}/remat={remat}: "
                 f"{type(exc).__name__}: {str(exc)[:200]}")
+            return False
+
+    if attempt(KNOWN_GOOD):
+        # Healthy runtime: spend leftover budget looking for a better config.
+        for cand in EXPLORE:
+            if time.perf_counter() - t_start > explore_budget_s:
+                break
+            attempt(cand)
+        return best
+    for cand in EXPLORE + FALLBACKS:  # degraded runtime: first success wins
+        if attempt(cand, with_flops=False):
+            return best
     raise RuntimeError("all bench configs failed:\n" + "\n".join(errors))
 
 
+def prewarm() -> None:
+    """Compile (don't time) the primary candidates into the persistent cache."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    for cand in (KNOWN_GOOD,) + EXPLORE:
+        dtype, batch, remat = cand
+        t0 = time.perf_counter()
+        try:
+            state, main, r1, pl, flags, data = _build(dtype, batch, remat)
+            main.lower(state, data, flags).compile()
+            r1.lower(state, data).compile()
+            pl.lower(state).compile()
+            print(f"prewarm ok {cand}: {time.perf_counter() - t0:.0f}s",
+                  flush=True)
+        except Exception as exc:
+            print(f"prewarm FAILED {cand}: {type(exc).__name__}: "
+                  f"{str(exc)[:200]}", flush=True)
+
+
 def main() -> None:
+    if "--prewarm" in sys.argv:
+        prewarm()
+        return
     result = run_bench()
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
@@ -123,21 +218,21 @@ def main() -> None:
         except Exception:
             baseline = None
     value = result["seqs_per_sec_per_chip"]
-    print(
-        json.dumps(
-            {
-                "metric": "train_seqs_per_sec_per_chip",
-                "value": round(value, 3),
-                "unit": "3-frame 2-channel seqs/sec/chip",
-                "vs_baseline": round(value / baseline, 3) if baseline else 1.0,
-                "dtype": result["dtype"],
-                "batch": result["batch"],
-                "step_ms": round(result["step_ms"], 2),
-                "n_chips": result["n_chips"],
-                "backend": result["backend"],
-            }
-        )
-    )
+    out = {
+        "metric": "train_seqs_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "3-frame 2-channel seqs/sec/chip",
+        "vs_baseline": round(value / baseline, 3) if baseline else 1.0,
+        "dtype": result["dtype"],
+        "batch": result["batch"],
+        "step_ms": round(result["step_ms"], 2),
+        "n_chips": result["n_chips"],
+        "backend": result["backend"],
+    }
+    for key in ("model_tflops_per_sec_per_chip", "mfu"):
+        if key in result:
+            out[key] = result[key]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

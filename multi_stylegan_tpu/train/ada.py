@@ -181,18 +181,34 @@ def _invert_2x2(m: jax.Array) -> jax.Array:
     return inv / det[:, None, None]
 
 
-def _warp_adjoint_gather(g: jax.Array, inv_mat: jax.Array) -> jax.Array:
+def _reflect_pad_k(h: int, w: int) -> int:
+    """Static pad width covering the composed ADA warp's source reach.
+
+    Sources live within ||fwd_row||_2 * r_max of the center; rotations keep
+    norm 1 and the two log-normal scale stages stay below 1.28 combined out
+    to ~6 sigma, so 0.4 * extent + 2 bounds the per-axis excess beyond the
+    half-extent (0.863 - 0.5 = 0.363 at the bound)."""
+    n = max(h, w)
+    return min(n - 1, int(0.4 * n) + 2)
+
+
+def _warp_adjoint_gather(g: jax.Array, inv_mat: jax.Array,
+                         pad_k: int = 0) -> jax.Array:
     """Adjoint of the bilinear warp as a GATHER (TPU scatters serialize and
     dominated the generator step).  Input pixel i receives cotangent from the
     output pixels o whose bilinear source lies within 1 of i; those o live in
     a 5x5 window around the forward-mapped position of i.  Exact for zeros
-    padding and for the interior under reflect padding; reflected border
-    tails (a few-pixel band) are dropped - documented approximation."""
+    padding (pad_k=0).  With pad_k=K the adjoint is computed on the
+    reflect-padded input grid [-K, n-1+K] (shape [B, H+2K, W+2K, C]) and the
+    caller folds the bands back - exact for reflect padding whenever K covers
+    the warp's source reach (see _reflect_pad_k)."""
     b, h, w, c = g.shape
     cy, cx = 0.5 * h, 0.5 * w
     fwd = _invert_2x2(inv_mat)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    k = pad_k
+    ys, xs = jnp.meshgrid(jnp.arange(-k, h + k, dtype=jnp.float32),
+                          jnp.arange(-k, w + k, dtype=jnp.float32),
+                          indexing="ij")
     dx = (xs - cx)[None]
     dy = (ys - cy)[None]
     f = fwd[:, :, :, None, None]
@@ -202,7 +218,7 @@ def _warp_adjoint_gather(g: jax.Array, inv_mat: jax.Array) -> jax.Array:
     oy0 = jnp.round(oy_star)
     m = inv_mat[:, :, :, None, None]
     gflat = g.reshape(b, h * w, c)
-    acc = jnp.zeros_like(g)
+    acc = jnp.zeros((b, h + 2 * k, w + 2 * k, c), g.dtype)
     for ddy in range(-2, 3):
         for ddx in range(-2, 3):
             oy = oy0 + ddy
@@ -218,10 +234,40 @@ def _warp_adjoint_gather(g: jax.Array, inv_mat: jax.Array) -> jax.Array:
             wgt = jnp.where(valid, wgt, 0.0)
             oyc = jnp.clip(oy, 0, h - 1).astype(jnp.int32)
             oxc = jnp.clip(ox, 0, w - 1).astype(jnp.int32)
-            lin = (oyc * w + oxc).reshape(b, h * w)[..., None]
+            lin = (oyc * w + oxc).reshape(b, -1)[..., None]
             vals = jnp.take_along_axis(gflat, lin, axis=1, mode="clip")
-            acc = acc + vals.reshape(b, h, w, c) * wgt[..., None].astype(g.dtype)
+            acc = acc + (vals.reshape(b, h + 2 * k, w + 2 * k, c)
+                         * wgt[..., None].astype(g.dtype))
     return acc
+
+
+def _fold_reflect(acc: jax.Array, k: int) -> jax.Array:
+    """Adjoint of align_corners reflect padding: fold the K-wide bands of a
+    padded cotangent [B, H+2K, W+2K, C] back into the interior.  Coordinate
+    -j reflects to +j and n-1+j to n-1-j (single reflection, valid for
+    K <= n-1), so each flipped band adds into rows/cols 1..K from the
+    matching border.  Slices + flips only - no scatter."""
+    if k == 0:
+        return acc
+
+    def fold_axis(a: jax.Array, axis: int) -> jax.Array:
+        n = a.shape[axis] - 2 * k
+
+        def sl(start, stop):
+            idx = [slice(None)] * a.ndim
+            idx[axis] = slice(start, stop)
+            return a[tuple(idx)]
+
+        core = sl(k, k + n)
+        lo = jnp.flip(sl(0, k), axis=axis)          # coords -1..-K
+        hi = jnp.flip(sl(k + n, k + n + k), axis=axis)  # coords n-1+K..n
+        pad_lo = [(0, 0)] * a.ndim
+        pad_lo[axis] = (1, n - 1 - k)
+        pad_hi = [(0, 0)] * a.ndim
+        pad_hi[axis] = (n - 1 - k, 1)
+        return core + jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi)
+
+    return fold_axis(fold_axis(acc, 1), 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -234,19 +280,30 @@ def _warp_fast_fwd(images, inv_mat, padding):
 
 
 def _warp_fast_bwd(padding, inv_mat, g):
-    return _warp_adjoint_gather(g, inv_mat), jnp.zeros_like(inv_mat)
+    if padding == "reflect":
+        k = _reflect_pad_k(g.shape[1], g.shape[2])
+        gi = _fold_reflect(_warp_adjoint_gather(g, inv_mat, pad_k=k), k)
+    else:
+        gi = _warp_adjoint_gather(g, inv_mat)
+    return gi, jnp.zeros_like(inv_mat)
 
 
 _warp_fast_grad.defvjp(_warp_fast_fwd, _warp_fast_bwd)
 
 
 # The gather adjoint is EXACT for zeros padding (used for the 90-degree
-# rotations).  For reflect padding it drops reflected contributions - exact
-# on the interior for small warps but lossy for large rotations (reflection
-# reaches deep into the image), so reflect warps default to the true
-# autodiff transpose (an XLA scatter); opt into the fast interior-exact
-# adjoint with set_ada_fast_grad(True) when border-gradient fidelity is not
-# a concern.
+# rotations).  For reflect padding the adjoint runs on the reflect-padded
+# grid and folds the bands back (_fold_reflect) - exact whenever the static
+# pad (_reflect_pad_k, 0.4*extent) covers the warp's source reach, i.e. for
+# every rotation combined with scale jitter out to ~6 sigma of the ADA
+# log-normal.
+#
+# Default OFF for reflect, by measurement (TPU v5e, [16,256,256,6] grad,
+# host-fetch barrier, 2026-08-16): the 3.3x-larger padded grid makes the
+# exact fold-gather 687 ms vs 202 ms for the true autodiff transpose
+# (XLA scatter); for zeros padding the plain gather wins (173 vs 202 ms)
+# and stays the default.  set_ada_fast_grad(True) opts reflect warps into
+# the (exact) fold-gather where scatters are pathological.
 _FAST_GRAD_REFLECT = False
 
 
@@ -265,6 +322,8 @@ def apply_affine_matrix(
     (0.5 * extent, matching ada.py:137-138): src = c + inv_mat @ (dst - c),
     bilinear sampling.  Differentiable w.r.t. ``images``; ``fast_grad`` uses
     the gather-based adjoint (see :func:`_warp_adjoint_gather`)."""
+    if padding not in ("reflect", "zeros"):
+        raise ValueError(f"padding must be 'reflect' or 'zeros', got {padding!r}")
     if fast_grad is None:
         fast_grad = padding == "zeros" or _FAST_GRAD_REFLECT
     if fast_grad:

@@ -106,22 +106,18 @@ def test_augment_sequences_shape_roundtrip():
 
 
 def test_fast_grad_adjoint_matches_autodiff():
-    """The gather-based warp adjoint equals the true autodiff transpose:
-    exactly for zeros padding, on the interior for reflect padding."""
+    """The gather-based warp adjoint equals the true autodiff transpose
+    EVERYWHERE (including border pixels), for both zeros padding and -
+    via the padded-grid gather + reflect fold - reflect padding, under
+    large rotations combined with scale jitter."""
     from multi_stylegan_tpu.train.ada import apply_affine_matrix, _rot_mat, _scale_mat
 
     rng = jax.random.key(0)
     x = jax.random.normal(rng, (2, 16, 16, 3))
+    angles = jnp.array([37.0, -140.0])
+    inv = _scale_mat(jnp.array([[1.05, 0.96], [0.92, 1.06]])) @ _rot_mat(angles)
 
     for padding in ("zeros", "reflect"):
-        if padding == "zeros":
-            # exact for ANY transform under zeros padding
-            angles = jnp.array([37.0, -140.0])
-        else:
-            # reflect: interior-exact only while reflection stays in a
-            # border band -> small warps
-            angles = jnp.array([8.0, -12.0])
-        inv = _scale_mat(jnp.array([[1.05, 0.96], [0.92, 1.06]])) @ _rot_mat(angles)
         def loss_fast(x):
             return jnp.sum(apply_affine_matrix(x, inv, padding, fast_grad=True) ** 2)
 
@@ -132,9 +128,26 @@ def test_fast_grad_adjoint_matches_autodiff():
         np.testing.assert_allclose(float(loss_fast(x)), float(loss_exact(x)), rtol=1e-5)
         gf = np.asarray(jax.grad(loss_fast)(x))
         ge = np.asarray(jax.grad(loss_exact)(x))
-        if padding == "zeros":
-            np.testing.assert_allclose(gf, ge, rtol=1e-4, atol=1e-4)
-        else:
-            # interior exact; reflected border tails are dropped by design
-            np.testing.assert_allclose(gf[:, 4:-4, 4:-4], ge[:, 4:-4, 4:-4],
-                                       rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gf, ge, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"padding={padding}")
+
+
+def test_fast_grad_reflect_adjoint_second_order():
+    """R1-style grad-of-grad through the reflect fast adjoint stays finite
+    and matches autodiff (the fold + padded gather are linear, so the
+    second-order path is the same machinery)."""
+    from multi_stylegan_tpu.train.ada import apply_affine_matrix, _rot_mat
+
+    x = jax.random.normal(jax.random.key(3), (1, 12, 12, 2))
+    inv = _rot_mat(jnp.array([63.0]))
+
+    def r1(x, fast):
+        def inner(x):
+            return jnp.sum(apply_affine_matrix(x, inv, "reflect",
+                                               fast_grad=fast) ** 2)
+        g = jax.grad(inner)(x)
+        return jnp.sum(g ** 2)
+
+    gf = np.asarray(jax.grad(lambda x: r1(x, True))(x))
+    ge = np.asarray(jax.grad(lambda x: r1(x, False))(x))
+    np.testing.assert_allclose(gf, ge, rtol=1e-4, atol=1e-4)
