@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Reproduce the reference's tower-2 output-block wiring.")
     parser.add_argument("--no_validation_metrics", default=False, action="store_true",
                         help="Skip FID/FVD/IS validation (e.g. without pretrained weights).")
+    parser.add_argument("--trap_weights", default=False, action="store_true",
+                        help="Apply a trap-region pixel-weight map to the pixel "
+                             "losses after trap_weight_start of training "
+                             "(the reference accepts such a map but never "
+                             "builds one; see data/trap_weights.py).")
+    parser.add_argument("--trap_weight_inside", default=2.0, type=float,
+                        help="Relative weight of the trap region (map is "
+                             "normalized to mean 1).")
     parser.add_argument("--dtype", default="float32", type=str,
                         choices=("float32", "bfloat16"),
                         help="Activation compute dtype (params stay fp32).")
@@ -140,10 +148,19 @@ def main(argv=None) -> None:
         except Exception as exc:  # pretrained weights unavailable
             print(f"Validation metrics disabled: {exc}")
 
+    trap_map = None
+    if args.trap_weights:
+        from multi_stylegan_tpu.data import make_trap_weights_map
+
+        trap_map = make_trap_weights_map(
+            resolution=gcfg.resolution, inside_weight=args.trap_weight_inside
+        )
+
     trainer = Trainer(
         generator, discriminator, cfg,
         training_dataset=loader, data_logger=logger,
-        validation_metrics=metrics, mesh=mesh, epochs=args.epochs,
+        validation_metrics=metrics, trap_weights_map=trap_map,
+        mesh=mesh, epochs=args.epochs,
     )
 
     if args.load_checkpoint:

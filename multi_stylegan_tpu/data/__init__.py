@@ -4,3 +4,4 @@ from multi_stylegan_tpu.data.tlfm import TLFMDataset, normalize_0_1  # noqa: F40
 from multi_stylegan_tpu.data.synthetic import SyntheticTLFMDataset  # noqa: F401
 from multi_stylegan_tpu.data.pipeline import BatchLoader  # noqa: F401
 from multi_stylegan_tpu.data.transforms import ElasticDeformation, elastic_deformation  # noqa: F401
+from multi_stylegan_tpu.data.trap_weights import make_trap_weights_map  # noqa: F401

@@ -5,7 +5,10 @@ The reference checkpoints a 6-key torch dict every 5 epochs
 loses the epoch counter, ADA p/r and the schedule state on resume
 (SURVEY.md §5).  Here the checkpoint IS the :class:`TrainState` pytree -
 step counter, both optimizer states, EMA, ADA controller, path-length mean -
-so resume is bitwise exact.
+so resume is bitwise exact.  Host-side schedule draws (the cut-mix coin) are
+a pure function of (seed, step) (train/loop.py:schedule_coin), so the
+schedule is reproduced exactly too without any host RNG state in the
+checkpoint.
 """
 
 from __future__ import annotations

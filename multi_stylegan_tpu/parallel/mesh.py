@@ -68,11 +68,10 @@ def replicate_state(mesh: Mesh, state):
 def per_host_batch(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
     """Assemble a globally batch-sharded array from per-host local data
     (multi-host input pipelines, SURVEY.md §2.5): each process contributes
-    its shard of the global batch.  On a single host this equals
-    :func:`shard_batch`."""
+    its shard of the global batch.  ``make_array_from_process_local_data``
+    handles the single-host case too (local data == global batch), where the
+    result equals :func:`shard_batch` — asserted by tests/test_utils.py."""
     sharding = batch_sharding(mesh)
-    if jax.process_count() == 1:
-        return jax.device_put(local_batch, sharding)
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
 
 

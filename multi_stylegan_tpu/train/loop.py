@@ -9,7 +9,7 @@ checkpointing; ALL numerical work stays inside the jitted step.
 
 from __future__ import annotations
 
-import random as _pyrandom
+import os
 import time
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -24,6 +24,18 @@ from multi_stylegan_tpu.models.discriminator import Discriminator
 from multi_stylegan_tpu.models.generator import Generator
 from multi_stylegan_tpu.train.state import TrainState, create_train_state
 from multi_stylegan_tpu.train.steps import StepFlags, make_train_step
+
+
+def schedule_coin(seed: int, step: int) -> float:
+    """Deterministic per-step uniform draw in [0, 1) for host-side schedule
+    decisions (the cut-mix coin flip).
+
+    The reference draws from the global python RNG per batch
+    (model_wrapper.py:331-332), so its schedule is NOT reproducible across a
+    resume.  Here the draw is a pure function of (seed, step); the step
+    counter lives in the checkpointed TrainState, so a resumed run replays
+    the exact same schedule with no host RNG state to save."""
+    return float(np.random.default_rng((np.uint64(seed), np.uint64(step))).random())
 
 
 class Trainer:
@@ -52,7 +64,6 @@ class Trainer:
         self.mesh = mesh
         self.epochs = epochs
         self.best_fvd = float("inf")
-        self._py_rng = _pyrandom.Random(config.seed)
 
         steps_per_epoch = len(training_dataset)
         total = epochs * steps_per_epoch
@@ -161,6 +172,16 @@ class Trainer:
             progress = tqdm(total=self.epochs * len(self.dataset))
         except Exception:
             progress = None
+        # RTPT equivalent: process title + per-epoch ETA
+        # (model_wrapper.py:129-143)
+        from multi_stylegan_tpu.utils.telemetry import RunTelemetry
+
+        telemetry = RunTelemetry(
+            experiment_name="MultiStyleGAN",
+            max_iterations=self.epochs,
+            log_path=os.path.join(self.logger.path_metrics, "eta.log"),
+        )
+        telemetry.start()
         host_step = int(jax.device_get(self.state.step))
         for epoch in range(self.epochs):
             self.epoch = epoch
@@ -176,8 +197,11 @@ class Trainer:
                     wrong_order=jnp.asarray(wrong_order),
                     trap_weight=jnp.asarray(trap),
                     # the reference draws this per batch on the host
-                    # (model_wrapper.py:331-332)
-                    do_cut_mix=jnp.asarray(self._py_rng.random() <= cm_prob),
+                    # (model_wrapper.py:331-332); here the coin is a pure
+                    # function of (seed, step) so resume replays it exactly
+                    do_cut_mix=jnp.asarray(
+                        schedule_coin(cfg.seed, host_step) <= cm_prob
+                    ),
                     do_ema=jnp.asarray(not lazy_g),
                 )
                 self.state, metrics = self.main_step(self.state, batch, flags)
@@ -215,6 +239,7 @@ class Trainer:
                     )
             dt = time.perf_counter() - t0
             self.logger.log_metric("seqs_per_sec", n_seqs / max(dt, 1e-9))
+            telemetry.step()
 
             self._save_sample_grids(epoch)
             if (epoch + 1) % cfg.validate_every_n_epochs == 0:

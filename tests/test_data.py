@@ -111,3 +111,69 @@ def test_elastic_deformation_shape_and_range():
     # border-clamped sampling keeps the value range
     assert float(out.min()) >= float(img.min()) - 1e-5
     assert float(out.max()) <= float(img.max()) + 1e-5
+
+
+def test_trap_weights_map():
+    from multi_stylegan_tpu.data import make_trap_weights_map
+
+    w = make_trap_weights_map(resolution=(64, 48), inside_weight=3.0)
+    assert w.shape == (64, 48) and w.dtype == np.float32
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-6)
+    # trap center carries more weight than the corners
+    assert w[32, 24] > 2 * w[0, 0]
+    # smooth taper: no jump larger than the ramp resolution allows
+    assert np.abs(np.diff(w, axis=0)).max() < 0.5
+    # symmetric about the default (centered) trap
+    np.testing.assert_allclose(w, w[::-1, :], atol=1e-5)
+    np.testing.assert_allclose(w, w[:, ::-1], atol=1e-5)
+    with pytest.raises(ValueError):
+        make_trap_weights_map(trap_fraction=0.0)
+    with pytest.raises(ValueError):
+        make_trap_weights_map(inside_weight=-1.0)
+
+
+def test_trap_weights_map_through_train_step():
+    """End-to-end: the built map routes through the pixel losses when the
+    trap_weight flag is on and changes them (reference
+    model_wrapper.py:290-291, 405-406)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.data import make_trap_weights_map
+    from multi_stylegan_tpu.models import (
+        Discriminator,
+        Generator,
+        tiny_discriminator_config,
+        tiny_generator_config,
+    )
+    from multi_stylegan_tpu.models.config import TrainingConfig
+    from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
+
+    gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=4)
+    state = create_train_state(jax.random.key(0), g, d, cfg)
+    batch = jax.random.uniform(jax.random.key(1), (4, 2, 3, *gcfg.resolution))
+
+    trap = make_trap_weights_map(resolution=gcfg.resolution, inside_weight=4.0)
+    step_w = make_train_step(g, d, cfg, trap_weights_map=jnp.asarray(trap))
+    step_n = make_train_step(g, d, cfg)
+
+    on = jnp.asarray(True)
+    off = jnp.asarray(False)
+    flags_on = StepFlags(wrong_order=off, trap_weight=on, do_cut_mix=off)
+    flags_off = StepFlags.off()
+
+    _, m_weighted = jax.jit(step_w)(state, batch, flags_on)
+    _, m_flag_off = jax.jit(step_w)(state, batch, flags_off)
+    _, m_no_map = jax.jit(step_n)(state, batch, flags_on)
+
+    # flag off or no map => identical pixel losses; flag on with map differs
+    np.testing.assert_allclose(
+        float(m_flag_off["loss_discriminator_real_pixel_wise"]),
+        float(m_no_map["loss_discriminator_real_pixel_wise"]), rtol=1e-6)
+    assert not np.isclose(
+        float(m_weighted["loss_discriminator_real_pixel_wise"]),
+        float(m_flag_off["loss_discriminator_real_pixel_wise"]), rtol=1e-4)
+    for v in m_weighted.values():
+        assert np.isfinite(float(v))
