@@ -3,8 +3,12 @@
 These are drop-in replacements for the XLA implementations in
 ``ops/fused_act.py`` and ``ops/upfirdn2d.py``, mirroring the role of the
 reference's two CUDA extensions (reference multi_stylegan/op_static/).  The
-XLA paths remain the default; these kernels are selected with
-``impl='pallas'`` or the per-op ``set_default_impl``.
+XLA paths remain the default BY MEASUREMENT: on a real TPU v5e the XLA
+depthwise-conv upfirdn reaches ~207 GB/s at the top model call site vs
+~108 GB/s for this stencil (the op is VPU-compute-bound, and XLA schedules
+that compute better) - numbers and the full decision record in
+``ops/BENCHMARKS.md``.  The kernels are selected with ``impl='pallas'`` or
+the per-op ``set_default_impl`` and are hardware-verified correct.
 
 Gradient structure mirrors the reference autograd Functions
 (op_static/fused_act.py:22-73): the backward pass recomputes the activation
@@ -91,14 +95,21 @@ def _from_2d(y2d: jax.Array, shape: Tuple[int, ...], axis: int, ndim: int) -> ja
 
 
 def _flr_fwd_kernel(negative_slope, scale, x_ref, b_ref, o_ref):
-    y = x_ref[:] + b_ref[:]
-    o_ref[:] = jnp.where(y >= 0, y, y * negative_slope) * scale
+    # bias rides in f32 (small bf16 VMEM blocks crash this Mosaic version,
+    # tools/probe_pallas.py); accumulate in f32, store in the input dtype
+    y = x_ref[:].astype(jnp.float32) + b_ref[:]
+    o_ref[:] = (jnp.where(y >= 0, y, y * negative_slope) * scale).astype(
+        o_ref.dtype
+    )
 
 
 def _flr_grad_kernel(negative_slope, scale, g_ref, out_ref, o_ref):
     # Mask from the *forward output* sign, as the reference CUDA grad does
     # (fused_bias_act_kernel.cu:36-45, case 31).
-    o_ref[:] = jnp.where(out_ref[:] >= 0, g_ref[:], g_ref[:] * negative_slope) * scale
+    g = g_ref[:].astype(jnp.float32)
+    o_ref[:] = (jnp.where(out_ref[:] >= 0, g, g * negative_slope) * scale).astype(
+        o_ref.dtype
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -138,7 +149,8 @@ def _flr_2d_fwd(x, bias_row, negative_slope, scale):
 
 def _flr_2d_bwd(negative_slope, scale, out, g):
     gi = _flr_grad_from_out(g, out, negative_slope, scale)
-    gb = jnp.sum(gi, axis=0, keepdims=True)
+    # bias primal is f32 (see _flr_fwd_kernel); cotangent must match
+    gb = jnp.sum(gi.astype(jnp.float32), axis=0, keepdims=True)
     return gi, gb
 
 
@@ -155,63 +167,141 @@ def fused_leaky_relu_pallas(
     x2d, shape, axis_ = _to_2d(x, axis)
     c = x2d.shape[1]
     if bias is None:
-        bias_row = jnp.zeros((1, c), x2d.dtype)
+        bias_row = jnp.zeros((1, c), jnp.float32)
     else:
-        bias_row = bias.reshape(1, c).astype(x2d.dtype)
+        bias_row = bias.reshape(1, c).astype(jnp.float32)
     y2d = _flr_2d(x2d, bias_row, float(negative_slope), float(scale))
     return _from_2d(y2d, shape, axis_, x.ndim)
 
 
 # ---------------------------------------------------------------------------
-# upfirdn2d stencil kernel (up in {1, 2}, down == 1)
+# upfirdn2d stencil kernel (up == 1, down == 1 fast path)
 # ---------------------------------------------------------------------------
 #
-# NHWC polyphase stencil: channels ride the 128-wide lanes, the FIR taps are
-# static shifted slices on the VPU - no MXU, no materialized 4x-upsampled
-# intermediate in HBM (the XLA depthwise-conv path lowers to a contraction
-# with dim 1, wasting the MXU; this kernel is pure bandwidth).
+# NHWC stencil: channels ride the 128-wide lanes, the FIR taps are static
+# shifted slices on the VPU - no MXU (the XLA depthwise-conv path lowers to
+# a contraction with dim 1, wasting the MXU; this kernel is pure bandwidth).
 #
-# Padding is normalized at the JAX level: the input is zero-padded by
-# q = ceil(p / up) whole input rows/cols so that inside the kernel every
-# access lands in-bounds, with a sub-up-factor phase offset d = q*up - p.
-# For an output row tile [r0, r0+th) (th a multiple of up) the kernel needs
-# the contiguous input row slab [r0/up, r0/up + hin) with
-# hin = floor((th + kh - 2 + d)/up) + 1 - overlapping slabs are fetched by
+# Hardware constraints (probed on TPU v5e, tools/probe_pallas.py):
+#   - DMA into a scratch whose sublane (width) dim is not tile-aligned hard
+#     crashes the TPU worker -> the scratch keeps the RAW image width (all
+#     model call sites are powers of two) and the filter padding is applied
+#     to the loaded VALUES in-register (jnp.pad inside the kernel).
+#   - small bf16 VMEM blocks ((kh,kw) taps, (1,C) bias rows) fail to compile
+#     -> the taps live in SMEM as float32 scalars; accumulation is f32.
+#   - up == 2 appears only on C=3 skip towers (latency-bound, XLA wins) and
+#     never needs a kernel; down > 1 only inside the XLA backward.
+#
+# Row tiles overlap by kh-1 halo rows; overlapping slabs are fetched by
 # async-copying from HBM into VMEM scratch (BlockSpec blocks cannot overlap).
+# Border tiles get static-size DMA variants under @pl.when with the out-of-
+# image rows zeroed (vertical padding); ragged last row tiles and tile-
+# aligned output widths rely on Pallas' masked stores for non-dividing
+# blocks.
 
 HAS_PALLAS_UPFIRDN = True
 
 
-def _interleave_zeros(x: jax.Array, axis: int, up: int) -> jax.Array:
-    """Zero-stuff along ``axis``: [..., n, ...] -> [..., n*up, ...]."""
-    if up == 1:
-        return x
-    parts = [x] + [jnp.zeros_like(x)] * (up - 1)
-    stacked = jnp.stack(parts, axis=axis + 1)
-    new_shape = list(x.shape)
-    new_shape[axis] = x.shape[axis] * up
-    return stacked.reshape(new_shape)
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def _make_upfirdn_kernel(kh, kw, up, d0h, d0w, th, hin, wo, wp):
-    def kernel(kf_ref, x_hbm, o_ref, scratch, sem):
+def _make_upfirdn_kernel(kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes):
+    """Halo-pipelined stencil: the main th-row input block rides the Pallas
+    auto-pipeline (double-buffered, overlapped with compute); only the
+    <= kh-1 halo rows above/below are fetched with tiny manual DMAs.
+
+    vbuf layout: [py0 top halo | th main rows | pb bottom halo] x W x tc.
+    bot_classes: ((i_lo, i_hi), size) static bottom-halo sizes per row-tile
+    run (the bottom rows [i*th+th, +pb) clipped to the image)."""
+    pb = kh - 1 - py0
+
+    def kernel(kf_smem, x_hbm, blk_ref, o_ref, vbuf, sem_t, sem_b):
         b = pl.program_id(0)
-        i = pl.program_id(1)
-        s0 = i * (th // up)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(s0, hin), :, :], scratch, sem
-        )
-        cp.start()
-        cp.wait()
-        xq = scratch[:]  # [hin, wp, tc]
-        xup = _interleave_zeros(_interleave_zeros(xq, 0, up), 1, up)
+        j = pl.program_id(1)  # channel tile
+        i = pl.program_id(2)  # output row tile
+        tc = vbuf.shape[-1]
+
+        # start the tiny halo DMAs first, overlap with the main-row copy
+        if py0 > 0:
+            @pl.when(i > 0)
+            def _top_dma():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(i * th - py0, py0), :, pl.ds(j * tc, tc)],
+                    vbuf.at[pl.ds(0, py0), :, :],
+                    sem_t,
+                )
+                cp.start()
+
+        if pb > 0:
+            for (i_lo, i_hi), size in bot_classes:
+                if size <= 0:
+                    continue
+                @pl.when((i >= i_lo) & (i <= i_hi))
+                def _bot_dma(size=size):
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[b, pl.ds(i * th + th, size), :, pl.ds(j * tc, tc)],
+                        vbuf.at[pl.ds(py0 + th, size), :, :],
+                        sem_b,
+                    )
+                    cp.start()
+
+        # main rows from the pipelined block; zero any rows past the image
+        # (ragged last tile: the clamped index map re-reads a valid block,
+        # but its content does not belong at these row positions)
+        vbuf[py0 : py0 + th, :, :] = blk_ref[0]
+        for i_val in range(n_rt):
+            over = i_val * th + th - h  # rows of this block past the image
+            if over > 0:
+                valid = max(0, h - i_val * th)
+                @pl.when(i == i_val)
+                def _zero_tail(valid=valid):
+                    vbuf[py0 + valid : py0 + th, :, :] = jnp.zeros(
+                        (th - valid, vbuf.shape[1], tc), vbuf.dtype
+                    )
+        if py0 > 0:
+            @pl.when(i == 0)
+            def _zero_top():
+                vbuf[0:py0, :, :] = jnp.zeros((py0, vbuf.shape[1], tc), vbuf.dtype)
+        if pb > 0:
+            for (i_lo, i_hi), size in bot_classes:
+                if size < pb:
+                    @pl.when((i >= i_lo) & (i <= i_hi))
+                    def _zero_bot(size=size):
+                        vbuf[py0 + th + size :, :, :] = jnp.zeros(
+                            (pb - size, vbuf.shape[1], tc), vbuf.dtype
+                        )
+        if py0 > 0:
+            @pl.when(i > 0)
+            def _top_wait():
+                pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(0, py0), :, pl.ds(0, tc)],
+                    vbuf.at[pl.ds(0, py0), :, :], sem_t,
+                ).wait()
+        if pb > 0:
+            for (i_lo, i_hi), size in bot_classes:
+                if size > 0:
+                    @pl.when((i >= i_lo) & (i <= i_hi))
+                    def _bot_wait(size=size):
+                        pltpu.make_async_copy(
+                            x_hbm.at[b, pl.ds(0, size), :, pl.ds(0, tc)],
+                            vbuf.at[pl.ds(py0 + th, size), :, :], sem_b,
+                        ).wait()
+
+        v = vbuf[:].astype(jnp.float32)  # [th + kh - 1, w, tc]
+        # filter padding applied to the VALUES (never to the DMA: unaligned
+        # scratch widths crash the worker); extra right pad feeds the
+        # tile-aligned output width, masked on store
+        extra = max(0, wo_pad + kw - 1 - v.shape[1] - px0 - px1)
+        vp = jnp.pad(v, ((0, 0), (px0, px1 + extra), (0, 0)))
+        # width shifts hoisted per kx; ky row slices are pure addressing
+        # (measured: Mosaic schedules this the same as the naive 2D loop -
+        # the kernel is VPU-relayout-bound either way, see ops/BENCHMARKS.md)
+        vx = [vp[:, kx : kx + wo_pad, :] for kx in range(kw)]
         acc = None
         for ky in range(kh):
             for kx in range(kw):
-                sl = (
-                    xup[ky + d0h : ky + d0h + th, kx + d0w : kx + d0w + wo, :]
-                    * kf_ref[ky, kx]
-                )
+                sl = vx[kx][ky : ky + th] * kf_smem[ky, kx]
                 acc = sl if acc is None else acc + sl
         o_ref[0] = acc.astype(o_ref.dtype)
 
@@ -239,9 +329,15 @@ def _upfirdn_grad(g, kernel, up, pad, in_hw):
     g_px0 = kw - px0 - 1
     g_py1 = in_h * up - out_h + py0 - up + 1
     g_px1 = in_w * up - out_w + px0 - up + 1
+    kflip = jnp.flip(kernel, (0, 1))
+    if up == 1:
+        # down == 1 too: the transposed pass is itself a plain stencil (its
+        # pads are (k-1-p) >= 0 whenever the forward was supported), so it
+        # rides the Pallas kernel as well
+        return upfirdn2d_pallas(g, kflip, 1, (g_py0, g_py1, g_px0, g_px1))
     # upfirdn2d's 4-tuple pad order is (x0, x1, y0, y1) (reference CUDA entry)
     return upfirdn2d_xla(
-        g, jnp.flip(kernel, (0, 1)), up=1, down=up,
+        g, kflip, up=1, down=up,
         pad=(g_px0, g_px1, g_py0, g_py1),
     )
 
@@ -256,7 +352,10 @@ def _upfirdn_grad_bwd(up, pad, in_hw, kernel, gg):
     py0, py1, px0, px1 = pad
     # double backward = the original upfirdn applied to the cotangent
     # (UpFirDn2dBackward.backward, upfirdn2d.py:65-88)
-    ggo = upfirdn2d_xla(gg, kernel, up=up, down=1, pad=(px0, px1, py0, py1))
+    if up == 1:
+        ggo = upfirdn2d_pallas(gg, kernel, 1, (py0, py1, px0, px1))
+    else:
+        ggo = upfirdn2d_xla(gg, kernel, up=up, down=1, pad=(px0, px1, py0, py1))
     return ggo, jnp.zeros_like(kernel)
 
 
@@ -288,58 +387,99 @@ def _upfirdn2d_pallas_vjp_bwd(up, pad, residuals, g):
 upfirdn2d_pallas.defvjp(_upfirdn2d_pallas_vjp_fwd, _upfirdn2d_pallas_vjp_bwd)
 
 
+def pallas_upfirdn_supported(
+    x_shape: Tuple[int, ...], x_dtype, kh: int, kw: int,
+    up: int, down: int, pad: Tuple[int, int, int, int],
+) -> bool:
+    """Static predicate for the Pallas fast path (see module comment)."""
+    if up != 1 or down != 1 or min(pad) < 0:
+        return False
+    _, h, w, c = x_shape
+    sub = 8 if jnp.dtype(x_dtype).itemsize >= 4 else 16
+    if c % 128 != 0 or w % sub != 0:
+        return False
+    py0, py1, px0, px1 = pad
+    if h + py0 + py1 - kh + 1 <= 0 or w + px0 + px1 - kw + 1 <= 0:
+        return False
+    # vertical pad must not exceed one halo slab (border DMA classes assume
+    # the top/bottom clipping touches only a static prefix/suffix of tiles)
+    return py0 < kh and py1 < kh
+
+
 def _upfirdn2d_pallas_fwd_impl(
     x: jax.Array, kernel: jax.Array, up: int, pad: Tuple[int, int, int, int]
 ) -> jax.Array:
-    """NHWC upfirdn2d for up in {1, 2}, down == 1 (see module comment)."""
-    import numpy as np
-
+    """NHWC upfirdn2d stencil, up == 1, down == 1 (see module comment)."""
     py0, py1, px0, px1 = pad
     bsz, h, w, c = x.shape
     kh, kw = kernel.shape
-    ho = h * up + py0 + py1 - kh + 1
-    wo = w * up + px0 + px1 - kw + 1
-    # JAX-level whole-row/col zero padding; sub-up phase handled in-kernel.
-    q_top = -(-py0 // up) if py0 > 0 else 0
-    q_bot = -(-py1 // up) if py1 > 0 else 0
-    q_left = -(-px0 // up) if px0 > 0 else 0
-    q_right = -(-px1 // up) if px1 > 0 else 0
-    if min(py0, py1, px0, px1) < 0:
-        # negative padding: crop via the XLA path (unused by the models)
+    if not pallas_upfirdn_supported(x.shape, x.dtype, kh, kw, up, 1, pad):
         from multi_stylegan_tpu.ops.upfirdn2d import upfirdn2d_xla
 
-        return upfirdn2d_xla(x, kernel, up=up, down=1, pad=(py0, py1, px0, px1))
-    xq = jnp.pad(x, ((0, 0), (q_top, q_bot), (q_left, q_right), (0, 0)))
-    d0h = q_top * up - py0
-    d0w = q_left * up - px0
-    # output row tile: multiple of up, target ~16 rows
-    th = min(ho, 16)
-    th -= th % up
-    th = max(th, up)
-    n_tiles = -(-ho // th)
-    ho_pad = n_tiles * th
-    # input slab rows per tile (covers the last, possibly clipped, tile too)
-    hin = (th + kh - 2 + d0h) // up + 1
-    need_rows = (n_tiles - 1) * (th // up) + hin
-    if need_rows > xq.shape[1]:
-        xq = jnp.pad(xq, ((0, 0), (0, need_rows - xq.shape[1]), (0, 0), (0, 0)))
-    wp = xq.shape[2]
-    kflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+        return upfirdn2d_xla(x, kernel, up=up, down=1, pad=(px0, px1, py0, py1))
 
+    ho = h + py0 + py1 - kh + 1
+    wo = w + px0 + px1 - kw + 1
+    sub = 8 if x.dtype.itemsize >= 4 else 16
+    wo_pad = _round_up(wo, sub)  # masked store handles wo_pad > wo
+    itemsize = x.dtype.itemsize
+
+    # row tile (untiled dim, any extent): largest that keeps the working set
+    # (2x pipelined input block + vbuf + f32 vp/acc + 2x output block) in
+    # a conservative VMEM budget
+    th = min(32, ho)
+    while th > 8:
+        use = (2 * th * w * itemsize                       # pipelined block
+               + (th + kh - 1) * w * itemsize              # vbuf
+               + ((th + kh - 1) * (w + px0 + px1) + th * wo_pad) * 4  # f32
+               + 2 * th * wo_pad * itemsize) * 128         # per channel lane
+        if use <= 10 * 2**20:
+            break
+        th //= 2
+    n_rt = -(-ho // th)
+    tc = 128
+    n_ct = c // tc
+    pb = kh - 1 - py0
+    nxb = -(-h // th)  # row blocks available in the input array
+
+    # bottom-halo sizes (rows [i*th+th, +pb) clipped to the image), grouped
+    # into contiguous runs with one static-size DMA each
+    bot_classes = []  # ((i_lo, i_hi), size)
+    for i in range(n_rt):
+        size = max(0, min(pb, h - (i * th + th)))
+        if bot_classes and bot_classes[-1][1] == size:
+            (i_lo, _), s = bot_classes[-1]
+            bot_classes[-1] = ((i_lo, i), s)
+        else:
+            bot_classes.append(((i, i), size))
+
+    kflip = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
     out = pl.pallas_call(
-        _make_upfirdn_kernel(kh, kw, up, d0h, d0w, th, hin, wo, wp),
-        out_shape=jax.ShapeDtypeStruct((bsz, ho_pad, wo, c), x.dtype),
-        grid=(bsz, n_tiles),
+        _make_upfirdn_kernel(
+            kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, c), x.dtype),
+        grid=(bsz, n_ct, n_rt),
         in_specs=[
-            pl.BlockSpec((kh, kw), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, th, w, tc),
+                # clamp: ragged output grids can step one block past the
+                # input array; the kernel zeroes the misplaced rows
+                lambda b, j, i, _n=nxb: (b, jnp.minimum(i, _n - 1), 0, j),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, wo, c), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+            (1, th, wo_pad, tc),
+            lambda b, j, i: (b, i, 0, j),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((hin, wp, c), x.dtype),
+            pltpu.VMEM((th + kh - 1, w, tc), x.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-    )(kflip, xq)
-    return out[:, :ho]
+    )(kflip, x, x)
+    return out

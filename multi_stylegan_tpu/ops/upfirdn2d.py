@@ -131,12 +131,12 @@ def upfirdn2d(
     if impl == "pallas":
         from multi_stylegan_tpu.ops import pallas_kernels
 
-        if pallas_kernels.HAS_PALLAS_UPFIRDN and down == 1 and up in (1, 2):
-            py0, py1, px0, px1 = _normalize_pad(pad)
+        norm = _normalize_pad(pad)
+        if pallas_kernels.HAS_PALLAS_UPFIRDN and pallas_kernels.pallas_upfirdn_supported(
+            x.shape, x.dtype, kernel.shape[0], kernel.shape[1], up, down, norm
+        ):
             # positional call: custom_vjp's nondiff_argnums binding requires it
-            return pallas_kernels.upfirdn2d_pallas(
-                x, kernel, up, (py0, py1, px0, px1)
-            )
+            return pallas_kernels.upfirdn2d_pallas(x, kernel, up, norm)
     return upfirdn2d_xla(x, kernel, up=up, down=down, pad=pad)
 
 

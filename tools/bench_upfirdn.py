@@ -15,7 +15,11 @@ numbers, on hardware.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # Generator call sites at the 256x256 flagship config (models/generator.py):
