@@ -103,21 +103,41 @@ def modulated_conv_transpose2d(
     """Modulated 2x transposed conv (upsampling variant, padding 0).
 
     Matches torch ``F.conv_transpose2d(stride=2, padding=0)`` semantics
-    (multi_stylegan_generator.py:391-403): expressed as an input-dilated conv
-    with the spatially-flipped kernel.  Output extent = (H-1)*stride + kh.
+    (multi_stylegan_generator.py:391-403).  Output extent = (H-1)*stride + kh.
+
+    When ``kh == kw == stride`` (the model's only configuration: k2, s2) the
+    scatter windows never overlap - each output pixel receives exactly one
+    tap - so the op is EXACTLY a 1x1 contraction followed by depth-to-space:
+
+        y[b, si+a, sj+c, o] = sum_ci x[b, i, j, ci] * W[a, c, ci, o]
+
+    which keeps the MXU on one large [B*H*W, Cin] @ [Cin, s*s*Cout] matmul
+    instead of an input-dilated conv (XLA's dilated-conv lowering pays for
+    the zero rows).  Other shapes fall back to the dilated-conv form.
     """
     kh, kw = weight.shape[0], weight.shape[1]
     xs = _style_scale_input(x, style)
-    w = jnp.flip(weight, (0, 1)) * jnp.asarray(scale, weight.dtype)
-    y = lax.conv_general_dilated(
-        xs,
-        w.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
-        lhs_dilation=(stride, stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=precision,
-    )
+    if kh == stride and kw == stride:
+        b, h, w_, cin = xs.shape
+        cout = weight.shape[3]
+        wm = (weight * jnp.asarray(scale, weight.dtype)).astype(x.dtype)
+        wm = wm.transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+        y = lax.dot_general(
+            xs, wm, (((3,), (0,)), ((), ())), precision=precision
+        )  # [B, H, W, kh*kw*Cout]
+        y = y.reshape(b, h, w_, kh, kw, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * kh, w_ * kw, cout)
+    else:
+        w = jnp.flip(weight, (0, 1)) * jnp.asarray(scale, weight.dtype)
+        y = lax.conv_general_dilated(
+            xs,
+            w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
     if demodulate:
         d = _demod_factors(weight, style, scale, eps)
         y = y * d[:, None, None, :].astype(y.dtype)

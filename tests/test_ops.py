@@ -230,3 +230,32 @@ def test_modulated_conv_gradgrad(rng):
         return jnp.sum(jnp.tanh(y))
 
     jax.test_util.check_grads(f, (s,), order=2, modes=("rev",), atol=5e-2, rtol=5e-2)
+
+
+def test_modulated_conv_transpose_depth_to_space_equivalence(rng):
+    """The k==stride fast path (1x1 contraction + depth-to-space) must equal
+    the general dilated-conv formulation exactly (non-overlapping scatter
+    windows: each output pixel receives one tap)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from multi_stylegan_tpu.ops.modulated_conv import (
+        _demod_factors,
+        _style_scale_input,
+        modulated_conv_transpose2d,
+    )
+
+    x = jnp.asarray(rng.normal(size=(3, 5, 7, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 2, 16, 24)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32))
+    got = modulated_conv_transpose2d(x, w, s, scale=0.37, demodulate=True)
+
+    xs = _style_scale_input(x, s)
+    wf = jnp.flip(w, (0, 1)) * 0.37
+    ref = lax.conv_general_dilated(
+        xs, wf, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ref = ref * _demod_factors(w, s, 0.37, 1e-8)[:, None, None, :]
+    assert got.shape == (3, 10, 14, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
