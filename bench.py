@@ -145,6 +145,37 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     return result
 
 
+def _sampling_throughput(steps: int = 8, batch: int = 16,
+                         dtype: str = "bfloat16"):
+    """EMA-generator sampling seqs/sec (BASELINE.json north star: >=3x the
+    reference's sampling throughput). Cheap: one forward program."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.models import Generator
+    from multi_stylegan_tpu.models.config import GeneratorConfig
+
+    gcfg = GeneratorConfig(compute_dtype=dtype)
+    generator = Generator(gcfg)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "mixing": jax.random.key(2)}
+    z = jnp.zeros((batch, gcfg.latent_dimensions))
+    variables = jax.jit(lambda: generator.init(rngs, z, randomize_noise=False))()
+
+    @jax.jit
+    def sample(variables, z):
+        return generator.apply(variables, z, randomize_noise=False)
+
+    zr = jax.random.normal(jax.random.key(3), (batch, gcfg.latent_dimensions))
+    out = sample(variables, zr)
+    float(out.ravel()[0])  # host fetch: the only reliable barrier on axon
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = sample(variables, zr)
+    float(out.ravel()[0])
+    return batch * steps / (time.perf_counter() - t0)
+
+
 def run_bench(steps: int = 16, warmup: int = 2,
               explore_budget_s: float = 20 * 60):
     import jax
@@ -204,6 +235,12 @@ def prewarm() -> None:
         except Exception as exc:
             print(f"prewarm FAILED {cand}: {type(exc).__name__}: "
                   f"{str(exc)[:200]}", flush=True)
+    try:
+        t0 = time.perf_counter()
+        _sampling_throughput(steps=1)
+        print(f"prewarm ok sampling: {time.perf_counter() - t0:.0f}s", flush=True)
+    except Exception as exc:
+        print(f"prewarm FAILED sampling: {type(exc).__name__}", flush=True)
 
 
 def main() -> None:
@@ -232,6 +269,12 @@ def main() -> None:
     for key in ("model_tflops_per_sec_per_chip", "mfu"):
         if key in result:
             out[key] = result[key]
+    try:
+        out["ema_sampling_seqs_per_sec_per_chip"] = round(
+            _sampling_throughput(dtype=result["dtype"]), 1
+        )
+    except Exception:
+        pass  # never let the aux number break the headline metric
     print(json.dumps(out))
 
 

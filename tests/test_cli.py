@@ -53,3 +53,51 @@ def test_cli_sample_and_interpolate(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(tmp_path / "interp" / "interpolation.gif")
+
+
+@pytest.mark.slow
+def test_cli_convert_reference_checkpoint(tmp_path):
+    """convert CLI: fake reference 6-key .pt -> orbax TrainState dir that
+    load_checkpoint restores with converted params and stamped step."""
+    import torch
+
+    from tests.test_io import (
+        _fake_discriminator_state_dict,
+        _fake_generator_state_dict,
+    )
+    from multi_stylegan_tpu.models.config import (
+        tiny_discriminator_config,
+        tiny_generator_config,
+    )
+
+    gcfg = tiny_generator_config()
+    dcfg = tiny_discriminator_config()
+    ckpt = {
+        "generator": _fake_generator_state_dict(gcfg),
+        "generator_ema": _fake_generator_state_dict(gcfg),
+        "discriminator": _fake_discriminator_state_dict(dcfg),
+        "generator_optimizer": {},
+        "discriminator_optimizer": {},
+        "path_length_regularization": {
+            "mean_path_length": torch.tensor(2.5)},
+    }
+    src = tmp_path / "checkpoint_5.pt"
+    torch.save(ckpt, str(src))
+    dest = tmp_path / "orbax"
+
+    r = _run(
+        ["multi_stylegan_tpu.cli.convert", str(src), str(dest),
+         "--tiny", "--step", "123", "--platform", "cpu"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from multi_stylegan_tpu.io import load_checkpoint
+
+    restored = load_checkpoint(str(dest))
+    assert int(restored["step"]) == 123
+    assert float(restored["mean_path_length"]) == 2.5
+    import numpy as np
+
+    ema_leaves = [x for x in __import__("jax").tree.leaves(restored["g_ema_params"])]
+    assert all(np.isfinite(np.asarray(l)).all() for l in ema_leaves)
