@@ -53,6 +53,52 @@ def _peak_flops() -> float | None:
     return None
 
 
+def _robust_pl(step_fn):
+    """Path-length program with a compile-robustness fallback: the fused
+    second-order+update program is the first casualty of the degrading
+    remote compile helper; the bit-identical grads/apply split compiles as
+    two much smaller programs (train/steps.py)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    fused = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
+    grads_p = jax.jit(step_fn.path_length_grads)
+    apply_p = jax.jit(step_fn.path_length_apply, donate_argnums=(0,))
+    mode = {"m": None}
+
+    def pl_call(state):
+        if mode["m"] is None:
+            try:
+                out = fused(state)
+                mode["m"] = "fused"
+                return out
+            except Exception:
+                mode["m"] = "split"  # compile failure: state not consumed
+        if mode["m"] == "split":
+            try:
+                grads, pen, pl_len, new_mean = grads_p(state)
+                state = apply_p(state, grads, new_mean)
+                mode["m"] = "split_ok"
+                return state, pen, pl_len
+            except Exception:
+                # tier 3: the degraded remote compile helper cannot build
+                # ANY second-order G program; exclude pl from the loop and
+                # let the caller charge a measured proxy cost (_measure)
+                mode["m"] = "excluded"
+        if mode["m"] == "excluded":
+            return state, jnp.asarray(0.0), jnp.asarray(0.0)
+        if mode["m"] == "split_ok":
+            grads, pen, pl_len, new_mean = grads_p(state)
+            state = apply_p(state, grads, new_mean)
+            return state, pen, pl_len
+        return fused(state)
+
+    pl_call.lower = None  # no single lowering; cost analysis skips pl
+    pl_call.mode = mode
+    return pl_call
+
+
 def _build(dtype: str, batch: int, remat: bool):
     import jax
 
@@ -77,7 +123,7 @@ def _build(dtype: str, batch: int, remat: bool):
     # on the reference's every-16 cadence
     main = jax.jit(step_fn.main_step, donate_argnums=(0,))
     r1 = jax.jit(step_fn.r1_update, donate_argnums=(0,))
-    pl = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
+    pl = _robust_pl(step_fn)
     data = jax.random.uniform(
         jax.random.key(1), (batch, 2, 3, *gcfg.resolution)
     )
@@ -94,7 +140,9 @@ def _flops_per_step(main, r1, pl, state, data, flags, lazy: int):
             return float(an.get("flops", 0.0))
 
         f = cost(main.lower(state, data, flags))
-        f += (cost(r1.lower(state, data)) + cost(pl.lower(state))) / lazy
+        f += cost(r1.lower(state, data)) / lazy
+        if getattr(pl, "lower", None) is not None:
+            f += cost(pl.lower(state)) / lazy
         return f if f > 0 else None
     except Exception:
         return None
@@ -136,6 +184,25 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         "n_chips": n_chips,
         "backend": jax.default_backend(),
     }
+    if getattr(pl, "mode", {}).get("m") == "excluded":
+        # The degraded compile helper could not build any second-order G
+        # program (fused OR split): the loop ran without path-length.  Stay
+        # honest: charge a conservative proxy of 2x the measured r1 cost on
+        # the every-16 cadence and annotate.
+        t1 = time.perf_counter()
+        for _ in range(3):
+            state, pen = r1(state, data)
+        float(pen)
+        r1_ms = (time.perf_counter() - t1) / 3 * 1e3
+        proxy_s = 2 * r1_ms / 1e3 / lazy * steps
+        dt_adj = dt + proxy_s
+        result["seqs_per_sec_per_chip"] = batch * steps / dt_adj / n_chips
+        result["step_ms"] = dt_adj / steps * 1e3
+        result["path_length_note"] = (
+            "pl program failed to compile (remote compile-helper "
+            f"degradation); charged 2x r1 ({r1_ms:.0f} ms) per 16 steps "
+            "as a conservative proxy"
+        )
     if flops:
         tflops = flops / (dt / steps) / 1e12 / n_chips
         result["model_tflops_per_sec_per_chip"] = round(tflops, 1)
@@ -229,7 +296,7 @@ def prewarm() -> None:
             state, main, r1, pl, flags, data = _build(dtype, batch, remat)
             main.lower(state, data, flags).compile()
             r1.lower(state, data).compile()
-            pl.lower(state).compile()
+            state, _, _ = pl(state)  # robust closure: fused, else split pair
             print(f"prewarm ok {cand}: {time.perf_counter() - t0:.0f}s",
                   flush=True)
         except Exception as exc:
@@ -266,7 +333,7 @@ def main() -> None:
         "n_chips": result["n_chips"],
         "backend": result["backend"],
     }
-    for key in ("model_tflops_per_sec_per_chip", "mfu"):
+    for key in ("model_tflops_per_sec_per_chip", "mfu", "path_length_note"):
         if key in result:
             out[key] = result[key]
     try:

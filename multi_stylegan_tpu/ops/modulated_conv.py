@@ -115,9 +115,11 @@ def modulated_conv_transpose2d(
     instead of an input-dilated conv (XLA's dilated-conv lowering pays for
     the zero rows).  Other shapes fall back to the dilated-conv form.
     """
+    import os
+
     kh, kw = weight.shape[0], weight.shape[1]
     xs = _style_scale_input(x, style)
-    if kh == stride and kw == stride:
+    if kh == stride and kw == stride and os.environ.get("MSG_TPU_DTS_CONV", "1") != "0":
         b, h, w_, cin = xs.shape
         cout = weight.shape[3]
         wm = (weight * jnp.asarray(scale, weight.dtype)).astype(x.dtype)

@@ -464,6 +464,46 @@ def make_train_step(
         )
         return state, pen, pl
 
+    # Compile-robustness fallback: the single path-length program (f32
+    # second-order synthesis + optimizer update, donated) is the largest
+    # program in the suite and the first casualty when the remote TPU
+    # compile helper degrades over a long session (CLAUDE.md gotchas).  The
+    # same math split at the gradient boundary compiles as two much smaller
+    # programs: grads (no state update, nothing donated) + apply (elementwise
+    # optimizer/EMA update).  Bit-identical result to path_length_update.
+
+    def path_length_grads(state: TrainState):
+        bs = max(1, int(cfg.batch_size_shrink_path_length_regularization
+                        * cfg.batch_size))
+        base = jax.random.fold_in(jax.random.fold_in(state.rng, state.step), 17)
+        k_w, k_n, k_pl = jax.random.split(base, 3)
+        noise_list = generator.random_noise(bs, k_n)
+
+        def loss_fn(g_params):
+            g_vars = {"params": g_params, "noises": state.g_noises}
+            wplus = build_wplus(g_vars, k_w, bs)
+            synth = lambda wp: synthesize32(g_vars, wp, noise_list)
+            grads_pl = losses.path_length_grads(synth, wplus, k_pl)
+            pen, pl, new_mean = losses.path_length_penalty(
+                grads_pl, state.mean_path_length, cfg.path_length_decay
+            )
+            return cfg.w_generator_regularization * pen, (pen, pl, new_mean)
+
+        (_, (pen, pl, new_mean)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.g_params)
+        return grads, pen, pl, new_mean
+
+    def path_length_apply(state: TrainState, grads, new_mean):
+        updates, g_opt_state = g_opt.update(grads, state.g_opt_state, state.g_params)
+        g_params = jax.tree.map(lambda p, u: p + u, state.g_params, updates)
+        state = state.replace(
+            g_params=g_params, g_opt_state=g_opt_state, mean_path_length=new_mean
+        )
+        return state.replace(
+            g_ema_params=ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
+        )
+
     # expose sub-steps for unit tests and split-mode drivers
     train_step.d_step = d_step
     train_step.g_step = g_step
@@ -475,4 +515,6 @@ def make_train_step(
     train_step.main_step = main_step
     train_step.r1_update = r1_update
     train_step.path_length_update = path_length_update
+    train_step.path_length_grads = path_length_grads
+    train_step.path_length_apply = path_length_apply
     return train_step

@@ -128,3 +128,45 @@ def test_trap_weight_map_variant():
                       trap_weight=jnp.asarray(True), do_cut_mix=jnp.asarray(False))
     state, metrics = step_fn(state, _batch(0, b=2), flags)
     assert np.isfinite(float(metrics["loss_generator_pixel_wise"]))
+
+
+def test_path_length_split_matches_fused():
+    """The grads/apply split (compile-robustness fallback for the degrading
+    remote compile helper) must be bit-identical to the fused
+    path_length_update program."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.models import (
+        Discriminator,
+        Generator,
+        tiny_discriminator_config,
+        tiny_generator_config,
+    )
+    from multi_stylegan_tpu.models.config import TrainingConfig
+    from multi_stylegan_tpu.train import create_train_state, make_train_step
+
+    gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=4)
+    state = create_train_state(jax.random.key(0), g, d, cfg)
+    state = state.replace(step=state.step + 5)  # non-trivial RNG fold
+    step_fn = make_train_step(g, d, cfg)
+
+    s_fused, pen_f, pl_f = jax.jit(step_fn.path_length_update)(state)
+    grads, pen_s, pl_s, new_mean = jax.jit(step_fn.path_length_grads)(state)
+    s_split = jax.jit(step_fn.path_length_apply)(state, grads, new_mean)
+
+    np.testing.assert_array_equal(np.asarray(pen_f), np.asarray(pen_s))
+    np.testing.assert_array_equal(np.asarray(pl_f), np.asarray(pl_s))
+    np.testing.assert_array_equal(
+        np.asarray(s_fused.mean_path_length), np.asarray(s_split.mean_path_length))
+    for a, b in zip(jax.tree.leaves(s_fused.g_params),
+                    jax.tree.leaves(s_split.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_fused.g_ema_params),
+                    jax.tree.leaves(s_split.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_fused.g_opt_state),
+                    jax.tree.leaves(s_split.g_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -61,14 +61,20 @@ def main() -> None:
     flags = StepFlags.off()
     rng = jax.random.key(7)
 
+    def _touch(tree):
+        """Fold every updated leaf into the output so XLA cannot DCE the
+        optimizer update / backward pass."""
+        return sum(jnp.sum(l.astype(jnp.float32).ravel()[:1])
+                   for l in jax.tree.leaves(tree))
+
     # independent sub-programs (same params/state, no chaining: relative cost)
     def d_only(state, data):
         s, fakes, rpp, fpp, m = step.d_step(state, data, flags, rng)
-        return m["loss_discriminator_real"]
+        return m["loss_discriminator_real"] + 1e-30 * _touch(s.d_params)
 
     def g_only(state):
         s, m = step.g_step(state, args.batch, flags, rng)
-        return m["loss_generator"]
+        return m["loss_generator"] + 1e-30 * _touch(s.g_params)
 
     def g_fwd_only(state):
         fakes = step.sample_fakes(
@@ -82,19 +88,20 @@ def main() -> None:
                                "noises": state.g_noises}, rng, args.batch))
         zero_pp = jnp.zeros((args.batch, 1, 1, *gcfg.resolution))
         s, la, lr = step.cut_mix_step(state, data, fakes, zero_pp, zero_pp, rng)
-        return la
+        return la + 1e-30 * _touch(s.d_params)
 
     def r1_only(state, data):
         s, pen, _ = step.r1_step(state, data)
-        return pen
+        return pen + 1e-30 * _touch(s.d_params)
 
     def pl_only(state):
         s, pen, pl = step.path_length_step(state, args.batch, rng)
-        return pen
+        return pen + 1e-30 * _touch(s.g_params)
 
     def main_only(state, data):
         s, m = step.main_step(state, data, flags)
-        return m["loss_generator"]
+        return (m["loss_generator"] + 1e-30 * _touch(s.g_params)
+                + 1e-30 * _touch(s.d_params) + 1e-30 * _touch(s.g_ema_params))
 
     progs = {
         "g_fwd (sample_fakes)": jax.jit(g_fwd_only),
