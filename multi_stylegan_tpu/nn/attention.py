@@ -22,7 +22,21 @@ from multi_stylegan_tpu.nn.equalized import EqualizedConv2d
 
 
 def _max_pool_2x(x: jax.Array) -> jax.Array:
-    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    """2x max pooling via argmax-gather, NOT ``nn.max_pool``.
+
+    Identical forward values (asserted in tests), torch-style first-max
+    tie-break, and a LINEAR backward (gather), so grad-of-grad is clean.
+    ``nn.max_pool`` (reduce_window_max) produced NaN parameter gradients in
+    the R1 second-order program on TPU at the flagship 256x256 config - the
+    select-and-scatter derivative path under grad-of-grad was isolated as
+    the trigger (round-2 stability run; all other attention pieces clean).
+    R1 and path-length both differentiate through this block, so the
+    second-order behavior is load-bearing (reference loss.py:310-317)."""
+    b, h, w, c = x.shape
+    pw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    pw = pw.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c, 4)
+    idx = jnp.argmax(pw, axis=-1)
+    return jnp.take_along_axis(pw, idx[..., None], axis=-1)[..., 0]
 
 
 class NonLocalBlock(nn.Module):

@@ -110,3 +110,53 @@ def test_non_local_block_gamma_zero_is_scaled_residual(rng):
     v2 = block2.init(jax.random.key(0), jnp.array(x))
     y2 = block2.apply(v2, jnp.array(x))
     assert y2.shape == (2, 8, 8, 32)
+
+
+def test_attention_max_pool_gather_formulation(rng):
+    """_max_pool_2x: identical forward to nn.max_pool, linear backward
+    (clean grad-of-grad - the select-and-scatter formulation NaN'd the R1
+    second-order program on TPU, see docstring)."""
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.nn.attention import _max_pool_2x
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_max_pool_2x(x)),
+        np.asarray(fnn.max_pool(x, (2, 2), (2, 2))), rtol=1e-6)
+
+    # first grad routes to the (first) argmax like torch
+    g = jax.grad(lambda x: jnp.sum(_max_pool_2x(x) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # grad-of-grad finite
+    gg = jax.grad(lambda x: jnp.sum(jax.grad(
+        lambda y: jnp.sum(_max_pool_2x(y) ** 2))(x) ** 2))(x)
+    assert np.isfinite(np.asarray(gg)).all()
+
+
+def test_nonlocal_block_second_order_finite(rng):
+    """R1-style grad-of-grad through the NonLocal block stays finite even
+    with large activations (the round-2 hardware NaN regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.nn.attention import NonLocalBlock
+
+    blk = NonLocalBlock(16)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32)) * 50.0
+    params = blk.init(jax.random.key(0), x)["params"]
+    # make gamma nonzero so the attention path carries gradient
+    params = jax.tree.map(lambda p: p, params)
+    params = dict(params)
+    params["gamma"] = jnp.asarray(0.7)
+
+    def inner_grad_norm(p, x):
+        g = jax.grad(lambda xx: jnp.sum(blk.apply({"params": p}, xx)))(x)
+        return 0.5 * jnp.sum(g * g)
+
+    pen, grads = jax.value_and_grad(inner_grad_norm)(params, x)
+    assert np.isfinite(float(pen))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -66,9 +66,11 @@ def main() -> None:
     step_fn = make_train_step(generator, discriminator, cfg,
                               top_k_start_iteration=50,
                               top_k_final_iteration=200)
+    from multi_stylegan_tpu.train.loop import _robust_pl_step
+
     main_step = jax.jit(step_fn.main_step, donate_argnums=(0,))
     r1 = jax.jit(step_fn.r1_update, donate_argnums=(0,))
-    pl = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
+    pl = _robust_pl_step(step_fn)  # fused -> split -> warn+skip (infra)
     lazy = cfg.lazy_discriminator_regularization
 
     data = BatchLoader(
