@@ -172,8 +172,13 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         if i % lazy == 0:
             state, _ = r1(state, data)
             state, _, _ = pl(state)
-    float(metrics["loss_generator"])
+    final_loss = float(metrics["loss_generator"])
     dt = time.perf_counter() - t0
+    if not (final_loss == final_loss and abs(final_loss) < 1e30):
+        raise RuntimeError(
+            f"non-finite loss after {steps} steps ({final_loss}): refusing "
+            "to report a NaN-poisoned throughput number"
+        )
     n_chips = jax.device_count()
     result = {
         "batch": batch,

@@ -104,6 +104,11 @@ class TrainingConfig:
     adam_beta1: float = 0.0
     adam_beta2: float = 0.999
     grad_clip_norm: float = 5.0
+    # Skip parameter updates containing non-finite values (optax
+    # apply_if_finite; train/state.py::_finite_guard).  The reference has no
+    # such guard and one bad second-order step corrupts every parameter.
+    skip_nonfinite_updates: bool = True
+    max_consecutive_nonfinite: int = 100
     ema_decay: float = 0.999
     p_mixed_noise: float = 0.9
     lazy_generator_regularization: int = 16

@@ -73,7 +73,13 @@ def update_ada_state(
     p_max: float = 0.8,
 ) -> AdaState:
     """Accumulate r; every ``r_update`` fake batches step p towards keeping
-    r at ``r_target`` and clamp to [0, p_max] (ada.py:80-95)."""
+    r at ``r_target`` and clamp to [0, p_max] (ada.py:80-95).
+
+    A non-finite r observation (saturated/poisoned discriminator outputs)
+    is dropped rather than accumulated: p drives the augmentation of every
+    future batch, so one NaN here would poison all subsequent training
+    (observed in the round-2 hardware stability run)."""
+    r_value = jnp.where(jnp.isfinite(r_value), r_value, state.last_r)
     r_sum = state.r_sum + r_value
     r_count = state.r_count + 1
     trigger = r_count >= r_update

@@ -56,9 +56,27 @@ def generator_label_tree(params) -> Any:
     }
 
 
+def _finite_guard(
+    cfg: TrainingConfig, opt: optax.GradientTransformation
+) -> optax.GradientTransformation:
+    """Skip (not apply) any update containing non-finite values.
+
+    GAN second-order regularizers can transiently produce inf/NaN gradients
+    when the discriminator saturates (observed on hardware: the round-2
+    300-step stability run poisoned every parameter from one bad R1 update
+    at the flagship bf16 config; the reference has no guard and would
+    corrupt the same way).  ``optax.apply_if_finite`` zeroes the update and
+    keeps inner optimizer state untouched for up to
+    ``max_consecutive_nonfinite`` consecutive bad steps - identical
+    arithmetic on every finite step."""
+    if not cfg.skip_nonfinite_updates:
+        return opt
+    return optax.apply_if_finite(opt, cfg.max_consecutive_nonfinite)
+
+
 def make_generator_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
     adam = lambda lr: optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
-    return optax.chain(
+    return _finite_guard(cfg, optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.multi_transform(
             {
@@ -67,7 +85,7 @@ def make_generator_optimizer(cfg: TrainingConfig) -> optax.GradientTransformatio
             },
             generator_label_tree,
         ),
-    )
+    ))
 
 
 def make_discriminator_optimizer(
@@ -77,10 +95,10 @@ def make_discriminator_optimizer(
     form of the reference's optional discriminator lr scheduler
     (model_wrapper.py:40, 193-195; default None there too)."""
     lr = lr_schedule if lr_schedule is not None else cfg.lr_discriminator
-    return optax.chain(
+    return _finite_guard(cfg, optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2),
-    )
+    ))
 
 
 def create_train_state(

@@ -342,6 +342,9 @@ def make_train_step(
         )
         updates, g_opt_state = g_opt.update(grads, state.g_opt_state, state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, updates)
+        # running-mean guard: a non-finite observation must not poison the
+        # carried state (the param update is guarded in the optimizer chain)
+        new_mean = jnp.where(jnp.isfinite(new_mean), new_mean, state.mean_path_length)
         return (
             state.replace(
                 g_params=g_params, g_opt_state=g_opt_state, mean_path_length=new_mean
@@ -497,6 +500,7 @@ def make_train_step(
     def path_length_apply(state: TrainState, grads, new_mean):
         updates, g_opt_state = g_opt.update(grads, state.g_opt_state, state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, updates)
+        new_mean = jnp.where(jnp.isfinite(new_mean), new_mean, state.mean_path_length)
         state = state.replace(
             g_params=g_params, g_opt_state=g_opt_state, mean_path_length=new_mean
         )

@@ -170,3 +170,49 @@ def test_path_length_split_matches_fused():
     for a, b in zip(jax.tree.leaves(s_fused.g_opt_state),
                     jax.tree.leaves(s_split.g_opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nonfinite_update_guard():
+    """A NaN gradient must be skipped, not applied (optax apply_if_finite):
+    one bad second-order step poisoned the whole state in the round-2
+    hardware stability run."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.models.config import TrainingConfig
+    from multi_stylegan_tpu.train.state import make_discriminator_optimizer
+
+    cfg = TrainingConfig()
+    opt = make_discriminator_optimizer(cfg)
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state = opt.init(params)
+
+    bad = {"w": jnp.full((3,), jnp.nan), "b": jnp.ones((2,))}
+    updates, state = opt.update(bad, state, params)
+    for leaf in jax.tree.leaves(updates):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+    good = {"w": jnp.ones((3,)), "b": jnp.ones((2,))}
+    updates, state = opt.update(good, state, params)
+    assert any(float(jnp.abs(l).max()) > 0 for l in jax.tree.leaves(updates))
+    # guard off -> NaN propagates (documented opt-out)
+    opt_raw = make_discriminator_optimizer(
+        TrainingConfig(skip_nonfinite_updates=False))
+    s2 = opt_raw.init(params)
+    updates, _ = opt_raw.update(bad, s2, params)
+    assert not np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_ada_state_nonfinite_r_dropped():
+    """A NaN r observation must not poison the ADA controller (p drives all
+    future augmentation)."""
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.train.ada import AdaState, update_ada_state
+
+    s = AdaState.create(0.05)
+    for i in range(8):
+        r = jnp.asarray(jnp.nan if i == 3 else 0.9)
+        s = update_ada_state(s, r, r_update=8)
+    assert np.isfinite(float(s.p)) and np.isfinite(float(s.last_r))
+    assert float(s.p) > 0.05  # r above target: p stepped up

@@ -80,6 +80,11 @@ def main() -> None:
     )
     batches = iter(_cycle(data))
     on, off = jnp.asarray(True), jnp.asarray(False)
+    # scratch checkpoints: stale state from a previous run (possibly an
+    # older TrainState structure) must not be restorable
+    import shutil
+
+    shutil.rmtree(args.ckpt_dir, ignore_errors=True)
     ckpt = CheckpointManager(args.ckpt_dir, max_to_keep=2)
 
     report = {
@@ -127,11 +132,17 @@ def main() -> None:
     half = args.steps // 2
     state = run_steps(state, 1, half, t_log)
 
-    # mid-run checkpoint + restore into a FRESH state template
+    # mid-run checkpoint + restore into a FRESH (abstract) state template.
+    # The template must be ShapeDtypeStructs and the live state must be
+    # dropped first: materializing a second full state next to the training
+    # programs' reservations OOMs the chip.
     step_saved = int(jax.device_get(state.step))
     ckpt.save(step_saved, state)
     report["events"].append(f"checkpointed at step {step_saved}")
-    template = create_train_state(jax.random.key(0), generator, discriminator, cfg)
+    template = jax.eval_shape(
+        lambda: create_train_state(jax.random.key(0), generator, discriminator, cfg)
+    )
+    del state
     state = ckpt.restore(template)
     assert int(jax.device_get(state.step)) == step_saved
     report["events"].append(f"restored at step {step_saved}")
@@ -148,7 +159,15 @@ def main() -> None:
     report["loss_tail"] = [
         {"step": i, "g": g, "d": d, "ada_p": p} for i, _, g, d, p in t_log[-4:]
     ]
-    report["ok"] = (not report["nan_steps"]
+    # params must end finite (metrics can hide poisoned samples via top-k)
+    bad_params = []
+    for group in ("g_params", "d_params", "g_ema_params"):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                getattr(state, group)):
+            if not np.isfinite(np.asarray(jax.device_get(leaf))).all():
+                bad_params.append(group + "/" + "/".join(str(k) for k in path))
+    report["nonfinite_params"] = bad_params[:20]
+    report["ok"] = (not report["nan_steps"] and not bad_params
                     and report["final_step"] == args.steps)
     ckpt.close()
     with open(args.out, "w") as f:
