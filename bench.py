@@ -26,8 +26,10 @@ import sys
 import time
 
 KNOWN_GOOD = ("bfloat16", 16, False)
-EXPLORE = (("bfloat16", 24, False), ("bfloat16", 24, True),
-           ("bfloat16", 32, True))
+# b20/b18 first: b24 no-remat OOMs on one chip and full remat costs more
+# FLOPs than the batch gains; the gap between 16 and 24 was never explored
+EXPLORE = (("bfloat16", 20, False), ("bfloat16", 18, False),
+           ("bfloat16", 24, True))
 FALLBACKS = (("bfloat16", 8, False), ("float32", 16, True),
              ("bfloat16", 8, True), ("float32", 8, True),
              ("bfloat16", 4, True))
@@ -54,49 +56,17 @@ def _peak_flops() -> float | None:
 
 
 def _robust_pl(step_fn):
-    """Path-length program with a compile-robustness fallback: the fused
-    second-order+update program is the first casualty of the degrading
-    remote compile helper; the bit-identical grads/apply split compiles as
-    two much smaller programs (train/steps.py)."""
+    """Bench policy wrapper over train/robust.py: on exclusion (tier 3) the
+    caller (_measure) charges a measured proxy cost and annotates the JSON."""
     import jax
 
-    import jax.numpy as jnp
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
 
-    fused = jax.jit(step_fn.path_length_update, donate_argnums=(0,))
-    grads_p = jax.jit(step_fn.path_length_grads)
-    apply_p = jax.jit(step_fn.path_length_apply, donate_argnums=(0,))
-    mode = {"m": None}
-
-    def pl_call(state):
-        if mode["m"] is None:
-            try:
-                out = fused(state)
-                mode["m"] = "fused"
-                return out
-            except Exception:
-                mode["m"] = "split"  # compile failure: state not consumed
-        if mode["m"] == "split":
-            try:
-                grads, pen, pl_len, new_mean = grads_p(state)
-                state = apply_p(state, grads, new_mean)
-                mode["m"] = "split_ok"
-                return state, pen, pl_len
-            except Exception:
-                # tier 3: the degraded remote compile helper cannot build
-                # ANY second-order G program; exclude pl from the loop and
-                # let the caller charge a measured proxy cost (_measure)
-                mode["m"] = "excluded"
-        if mode["m"] == "excluded":
-            return state, jnp.asarray(0.0), jnp.asarray(0.0)
-        if mode["m"] == "split_ok":
-            grads, pen, pl_len, new_mean = grads_p(state)
-            state = apply_p(state, grads, new_mean)
-            return state, pen, pl_len
-        return fused(state)
-
-    pl_call.lower = None  # no single lowering; cost analysis skips pl
-    pl_call.mode = mode
-    return pl_call
+    return make_robust_path_length(
+        jax.jit(step_fn.path_length_update, donate_argnums=(0,)),
+        jax.jit(step_fn.path_length_grads),
+        jax.jit(step_fn.path_length_apply, donate_argnums=(0,)),
+    )
 
 
 def _build(dtype: str, batch: int, remat: bool):

@@ -27,53 +27,31 @@ from multi_stylegan_tpu.train.steps import StepFlags, make_train_step
 
 
 def _robust_pl_step(step_fn, fused_kw=None, grads_kw=None, apply_kw=None):
-    """Path-length update with a compile-robustness fallback: the fused
-    f32-second-order+optimizer program is the largest in the suite and the
-    first casualty when the remote TPU compile helper degrades over a long
-    session; the bit-identical grads/apply split (train/steps.py) compiles
-    as two much smaller programs.  Returns a ``state -> (state, pen, pl)``
-    callable."""
-    fused = jax.jit(step_fn.path_length_update, **(fused_kw or
-                                                   dict(donate_argnums=(0,))))
-    grads_p = jax.jit(step_fn.path_length_grads, **(grads_kw or {}))
-    apply_p = jax.jit(step_fn.path_length_apply, **(apply_kw or
-                                                    dict(donate_argnums=(0,))))
-    mode = {"m": None}
+    """Trainer policy wrapper over :func:`make_robust_path_length`: when
+    even the split second-order programs fail to compile (degraded remote
+    compile helper), warn loudly and continue training without path-length
+    rather than crashing."""
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
 
-    def pl_call(state):
-        if mode["m"] is None:
-            try:
-                out = fused(state)
-                mode["m"] = "fused"
-                return out
-            except Exception:
-                mode["m"] = "split"  # compile failure: state not consumed
-        if mode["m"] == "split":
-            try:
-                grads, pen, pl_len, new_mean = grads_p(state)
-                state = apply_p(state, grads, new_mean)
-                mode["m"] = "split_ok"
-                return state, pen, pl_len
-            except Exception:
-                mode["m"] = "excluded"
-                import warnings
+    def warn_excluded():
+        import warnings
 
-                warnings.warn(
-                    "path-length regularization DISABLED: neither the fused "
-                    "nor the split second-order program compiled (remote "
-                    "compile-helper failure). Training continues without it; "
-                    "restart on a healthy runtime to restore it.",
-                    RuntimeWarning,
-                )
-        if mode["m"] == "excluded":
-            return state, jnp.asarray(0.0), jnp.asarray(0.0)
-        if mode["m"] == "split_ok":
-            grads, pen, pl_len, new_mean = grads_p(state)
-            state = apply_p(state, grads, new_mean)
-            return state, pen, pl_len
-        return fused(state)
+        warnings.warn(
+            "path-length regularization DISABLED: neither the fused nor the "
+            "split second-order program compiled (remote compile-helper "
+            "failure). Training continues without it; restart on a healthy "
+            "runtime to restore it.",
+            RuntimeWarning,
+        )
 
-    return pl_call
+    return make_robust_path_length(
+        jax.jit(step_fn.path_length_update, **(fused_kw or
+                                               dict(donate_argnums=(0,)))),
+        jax.jit(step_fn.path_length_grads, **(grads_kw or {})),
+        jax.jit(step_fn.path_length_apply, **(apply_kw or
+                                              dict(donate_argnums=(0,)))),
+        on_excluded=warn_excluded,
+    )
 
 
 def schedule_coin(seed: int, step: int) -> float:

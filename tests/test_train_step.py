@@ -216,3 +216,28 @@ def test_ada_state_nonfinite_r_dropped():
         s = update_ada_state(s, r, r_update=8)
     assert np.isfinite(float(s.p)) and np.isfinite(float(s.last_r))
     assert float(s.p) > 0.05  # r above target: p stepped up
+
+
+def test_robust_path_length_tiers():
+    """The shared compile-robustness wrapper walks fused -> split ->
+    excluded, latches the working tier, and fires on_excluded exactly once."""
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
+
+    def failing(*a):
+        raise RuntimeError("compile fail")
+
+    pl = make_robust_path_length(
+        failing, lambda s: ("G", 1.0, 2.0, 3.0), lambda s, g, m: s)
+    state, pen, pl_len = pl("ST")
+    assert state == "ST" and pl.mode["m"] == "split_ok"
+
+    fired = []
+    pl2 = make_robust_path_length(failing, failing, failing,
+                                  on_excluded=lambda: fired.append(1))
+    s, p, l = pl2("ST")
+    assert pl2.mode["m"] == "excluded" and fired == [1] and float(p) == 0.0
+    pl2("ST")
+    assert fired == [1]  # sticky, fires once
+
+    pl3 = make_robust_path_length(lambda s: (s, 9.0, 8.0), failing, failing)
+    assert pl3("ST")[1] == 9.0 and pl3.mode["m"] == "fused"
