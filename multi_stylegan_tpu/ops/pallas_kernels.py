@@ -206,14 +206,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_upfirdn_kernel(kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes):
+def _make_upfirdn_kernel(kh, kw, th, py0, px0, px1, wo_pad, h, n_rt,
+                         top_classes, bot_classes):
     """Halo-pipelined stencil: the main th-row input block rides the Pallas
     auto-pipeline (double-buffered, overlapped with compute); only the
     <= kh-1 halo rows above/below are fetched with tiny manual DMAs.
 
     vbuf layout: [py0 top halo | th main rows | pb bottom halo] x W x tc.
-    bot_classes: ((i_lo, i_hi), size) static bottom-halo sizes per row-tile
-    run (the bottom rows [i*th+th, +pb) clipped to the image)."""
+    top_classes / bot_classes: ((i_lo, i_hi), size) static halo sizes per
+    row-tile run, clipped to the image.  When ho > h (pads summing past
+    kh-1, e.g. the advisor round-2 repro h=31/k4/pad(3,3)) the last tiles'
+    top halos [i*th-py0, i*th) reach past row h-1: only the valid prefix is
+    DMAed and the rest is zeroed (those rows are bottom padding)."""
     pb = kh - 1 - py0
 
     def kernel(kf_smem, x_hbm, blk_ref, o_ref, vbuf, sem_t, sem_b):
@@ -224,14 +228,18 @@ def _make_upfirdn_kernel(kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes
 
         # start the tiny halo DMAs first, overlap with the main-row copy
         if py0 > 0:
-            @pl.when(i > 0)
-            def _top_dma():
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[b, pl.ds(i * th - py0, py0), :, pl.ds(j * tc, tc)],
-                    vbuf.at[pl.ds(0, py0), :, :],
-                    sem_t,
-                )
-                cp.start()
+            for (i_lo, i_hi), valid in top_classes:
+                if valid <= 0:
+                    continue
+                @pl.when((i >= i_lo) & (i <= i_hi))
+                def _top_dma(valid=valid):
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[b, pl.ds(i * th - py0, valid), :,
+                                 pl.ds(j * tc, tc)],
+                        vbuf.at[pl.ds(0, valid), :, :],
+                        sem_t,
+                    )
+                    cp.start()
 
         if pb > 0:
             for (i_lo, i_hi), size in bot_classes:
@@ -263,6 +271,13 @@ def _make_upfirdn_kernel(kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes
             @pl.when(i == 0)
             def _zero_top():
                 vbuf[0:py0, :, :] = jnp.zeros((py0, vbuf.shape[1], tc), vbuf.dtype)
+            for (i_lo, i_hi), valid in top_classes:
+                if valid < py0:
+                    @pl.when((i >= i_lo) & (i <= i_hi))
+                    def _zero_top_tail(valid=valid):
+                        vbuf[valid:py0, :, :] = jnp.zeros(
+                            (py0 - valid, vbuf.shape[1], tc), vbuf.dtype
+                        )
         if pb > 0:
             for (i_lo, i_hi), size in bot_classes:
                 if size < pb:
@@ -272,12 +287,14 @@ def _make_upfirdn_kernel(kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes
                             (pb - size, vbuf.shape[1], tc), vbuf.dtype
                         )
         if py0 > 0:
-            @pl.when(i > 0)
-            def _top_wait():
-                pltpu.make_async_copy(
-                    x_hbm.at[b, pl.ds(0, py0), :, pl.ds(0, tc)],
-                    vbuf.at[pl.ds(0, py0), :, :], sem_t,
-                ).wait()
+            for (i_lo, i_hi), valid in top_classes:
+                if valid > 0:
+                    @pl.when((i >= i_lo) & (i <= i_hi))
+                    def _top_wait(valid=valid):
+                        pltpu.make_async_copy(
+                            x_hbm.at[b, pl.ds(0, valid), :, pl.ds(0, tc)],
+                            vbuf.at[pl.ds(0, valid), :, :], sem_t,
+                        ).wait()
         if pb > 0:
             for (i_lo, i_hi), size in bot_classes:
                 if size > 0:
@@ -442,21 +459,32 @@ def _upfirdn2d_pallas_fwd_impl(
     pb = kh - 1 - py0
     nxb = -(-h // th)  # row blocks available in the input array
 
-    # bottom-halo sizes (rows [i*th+th, +pb) clipped to the image), grouped
-    # into contiguous runs with one static-size DMA each
-    bot_classes = []  # ((i_lo, i_hi), size)
-    for i in range(n_rt):
-        size = max(0, min(pb, h - (i * th + th)))
-        if bot_classes and bot_classes[-1][1] == size:
-            (i_lo, _), s = bot_classes[-1]
-            bot_classes[-1] = ((i_lo, i), s)
-        else:
-            bot_classes.append(((i, i), size))
+    # halo sizes clipped to the image, grouped into contiguous runs with one
+    # static-size DMA each.  Top halo rows are [i*th-py0, i*th) (i >= 1; the
+    # i=0 halo is all top padding): when ho > h the last tiles start past the
+    # image and only a prefix is real.  Bottom halo rows are [i*th+th, +pb).
+    def _classes(size_of, start):
+        runs = []  # ((i_lo, i_hi), size)
+        for i in range(start, n_rt):
+            size = size_of(i)
+            if runs and runs[-1][1] == size:
+                (i_lo, _), s = runs[-1]
+                runs[-1] = ((i_lo, i), s)
+            else:
+                runs.append(((i, i), size))
+        return runs
+
+    top_classes = _classes(
+        lambda i: max(0, min(py0, h - (i * th - py0))), 1
+    )
+    bot_classes = _classes(
+        lambda i: max(0, min(pb, h - (i * th + th))), 0
+    )
 
     kflip = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
     out = pl.pallas_call(
         _make_upfirdn_kernel(
-            kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, bot_classes
+            kh, kw, th, py0, px0, px1, wo_pad, h, n_rt, top_classes, bot_classes
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, c), x.dtype),
         grid=(bsz, n_ct, n_rt),

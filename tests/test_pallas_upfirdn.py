@@ -24,7 +24,12 @@ from multi_stylegan_tpu.ops.upfirdn2d import upfirdn2d, upfirdn2d_xla
         ((2, 1), 4, 17, 16),   # g-blur after upsampling modconv; ragged h
         ((1, 1), 3, 32, 16),
         ((2, 1), 4, 8, 8),     # smallest stage, single row tile
-        ((3, 3), 4, 16, 8),    # max pads (pad < k)
+        ((3, 3), 4, 16, 8),    # max pads (pad < k), single row tile
+        # advisor round-2 repro: ho=34 > h=31 puts the last row tile's start
+        # past the image; its top halo must clip to the valid prefix (OOB
+        # DMA before the fix, caught by interpret mode)
+        ((3, 3), 4, 31, 16),
+        ((3, 3), 4, 33, 16),   # ho=36: last tile starts exactly at h+1
         ((0, 0), 4, 16, 16),   # no padding at all
     ],
 )
