@@ -26,12 +26,44 @@ def _abs(path: str) -> str:
 
 def _to_abstract(leaf):
     """ShapeDtypeStruct from any array-ish leaf (fresh flax inits can hold
-    numpy-backed scalars without a .sharding)."""
+    numpy-backed scalars without a .sharding).  Already-abstract leaves
+    (e.g. from ``jax.eval_shape``) pass through."""
     import jax.numpy as jnp
 
+    if isinstance(leaf, jax.ShapeDtypeStruct):
+        return leaf
     if not hasattr(leaf, "sharding"):
         leaf = jnp.asarray(leaf)
     return ocp.utils.to_shape_dtype_struct(leaf)
+
+
+def abstract_template(pytree: Any) -> Any:
+    """Abstract (ShapeDtypeStruct) mirror of a pytree, preserving shardings.
+
+    Restoring over a template of live arrays keeps those arrays alive while
+    orbax materializes the restored copy - at the flagship 256px config that
+    second full TrainState OOMs the chip (round-2 stability run).  Callers
+    should take the abstract template, DROP their live-state reference, then
+    restore (see Trainer.restore_latest)."""
+    return jax.tree.map(_to_abstract, pytree)
+
+
+_STRUCTURE_MISMATCH_HINT = (
+    "Checkpoint and template tree structures differ. If the checkpoint "
+    "predates the non-finite update guards, its optimizer states are NOT "
+    "wrapped in optax.apply_if_finite: rebuild the restore target with "
+    "TrainingConfig(skip_nonfinite_updates=False) (and re-save to migrate). "
+    "The reverse mismatch means the checkpoint WAS saved with the guards: "
+    "restore with skip_nonfinite_updates=True."
+)
+
+
+def _raise_with_structure_hint(exc: Exception) -> None:
+    msg = str(exc)
+    if ("structure" in msg.lower() or "apply_if_finite" in msg
+            or "ApplyIfFinite" in msg):
+        raise type(exc)(f"{msg}\n\n{_STRUCTURE_MISMATCH_HINT}") from exc
+    raise
 
 
 def save_checkpoint(path: str, pytree: Any) -> None:
@@ -47,7 +79,10 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
             target = jax.tree.map(_to_abstract, template)
-            return ckptr.restore(_abs(path), target)
+            try:
+                return ckptr.restore(_abs(path), target)
+            except Exception as exc:
+                _raise_with_structure_hint(exc)
         return ckptr.restore(_abs(path))
 
 
@@ -73,7 +108,10 @@ class CheckpointManager:
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()
         target = jax.tree.map(_to_abstract, state_template)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        try:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        except Exception as exc:
+            _raise_with_structure_hint(exc)
 
     def close(self):
         self._mgr.close()

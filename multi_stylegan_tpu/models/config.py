@@ -107,6 +107,10 @@ class TrainingConfig:
     # Skip parameter updates containing non-finite values (optax
     # apply_if_finite; train/state.py::_finite_guard).  The reference has no
     # such guard and one bad second-order step corrupts every parameter.
+    # CHECKPOINT-FORMAT NOTE: toggling this changes the optimizer-state
+    # pytree structure (apply_if_finite wraps the inner state), so
+    # checkpoints only restore under the same setting they were saved with;
+    # io/checkpoint.py raises a pointed error on the mismatch.
     skip_nonfinite_updates: bool = True
     max_consecutive_nonfinite: int = 100
     ema_decay: float = 0.999
@@ -131,6 +135,12 @@ class TrainingConfig:
     ada_r_update: int = 8
     ada_p_max: float = 0.8
     ada_p_init: float = 0.05
+    # Reproduce the reference's four SEPARATE kornia warps (iso scale /
+    # rotation / aniso scale / rotation each resampled independently,
+    # adaptive_discriminator_augmentation.py:131-199) instead of the
+    # TPU-first single composed warp.  Same net geometry; opt-in for exact
+    # reference behavior at the cost of 4x the resampling (and blur).
+    ada_sequential_warps: bool = False
     # TPU execution policy (new, no reference equivalent)
     compute_dtype: str = "bfloat16"
     validate_every_n_epochs: int = 10

@@ -354,9 +354,18 @@ def apply_affine(
 # ---------------------------------------------------------------------------
 
 
-def augmentation_pipeline(rng: jax.Array, images: jax.Array, p: jax.Array) -> jax.Array:
+def augmentation_pipeline(rng: jax.Array, images: jax.Array, p: jax.Array,
+                          sequential_warps: bool = False) -> jax.Array:
     """Apply the 7-stage ADA pipeline to [B, H, W, C_flat] images with
-    (traced) probability ``p`` (ada.py:108-200)."""
+    (traced) probability ``p`` (ada.py:108-200).
+
+    ``sequential_warps=True`` reproduces the reference's four SEPARATE
+    kornia warps (iso scale -> rotation -> aniso scale -> rotation,
+    ada.py:131-199), each gated per image and resampled independently with
+    reflect padding.  Default False composes the four per-image affines
+    into one 2x2 map applied with a single bilinear warp (TPU-first: one
+    gather pass, and identity passes through exactly) - same net geometry,
+    less boundary/resampling blur."""
     b, h, w, _ = images.shape
     keys = jax.random.split(rng, 14)
     ones2 = jnp.ones((b, 2), jnp.float32)
@@ -403,6 +412,23 @@ def augmentation_pipeline(rng: jax.Array, images: jax.Array, p: jax.Array) -> ja
     ang = jax.random.uniform(keys[8], (b,), minval=-180.0, maxval=180.0)
     s_aniso = jnp.exp(jax.random.normal(keys[10], (b, 2)) * _LOGNORMAL_SIGMA)
     ang2 = jax.random.uniform(keys[12], (b,), minval=-180.0, maxval=180.0)
+    zero_ang = jnp.zeros((b,))
+
+    if sequential_warps:
+        # reference-faithful: four independent bilinear warps, each gated
+        # per image (ada.py:131-147 iso scale, :148-164 rotation, :165-182
+        # aniso scale, :183-199 rotation), reflect padding throughout.
+        def gated_warp(key, prob, angle, scale, imgs):
+            m = jax.random.bernoulli(key, prob, (b, 1, 1, 1))
+            return jnp.where(m, apply_affine(imgs, angle, scale,
+                                             padding="reflect"), imgs)
+
+        images = gated_warp(keys[7], p, zero_ang, jnp.tile(s_iso, (1, 2)),
+                            images)
+        images = gated_warp(keys[9], p_rot, ang, ones2, images)
+        images = gated_warp(keys[11], p, zero_ang, s_aniso, images)
+        images = gated_warp(keys[13], p_rot, ang2, ones2, images)
+        return images
 
     # inverse of (iso -> rot1 -> aniso -> rot2), factors gated per image
     inv = (
@@ -428,10 +454,11 @@ def integer_translation(rng: jax.Array, images: jax.Array,
     return jnp.roll(images, (sh, sw), axis=(1, 2))
 
 
-def augment_sequences(rng: jax.Array, images: jax.Array, p: jax.Array) -> jax.Array:
+def augment_sequences(rng: jax.Array, images: jax.Array, p: jax.Array,
+                      sequential_warps: bool = False) -> jax.Array:
     """ADA entry point for [B, C, T, H, W] sequences: flatten channel*time,
     augment, restore (ada.py:66-72)."""
     b, c, t, h, w = images.shape
     flat = jnp.transpose(images.reshape(b, c * t, h, w), (0, 2, 3, 1))
-    flat = augmentation_pipeline(rng, flat, p)
+    flat = augmentation_pipeline(rng, flat, p, sequential_warps=sequential_warps)
     return jnp.transpose(flat, (0, 3, 1, 2)).reshape(b, c, t, h, w)

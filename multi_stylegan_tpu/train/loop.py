@@ -324,5 +324,13 @@ class Trainer:
         step = self.ckpt.latest_step()
         if step is None:
             return False
-        self.state = self.ckpt.restore(self.state, step)
+        # Abstract template first, then drop the live state: restoring over
+        # live arrays materializes a SECOND full TrainState next to the
+        # training programs' reservations, which OOMs the chip at the
+        # flagship config (round-2 stability run / VERDICT item 7).
+        from multi_stylegan_tpu.io.checkpoint import abstract_template
+
+        template = abstract_template(self.state)
+        self.state = None
+        self.state = self.ckpt.restore(template, step)
         return True

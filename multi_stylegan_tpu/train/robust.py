@@ -9,12 +9,21 @@ tests/test_train_step.py) compiles as two much smaller programs.  When even
 those fail, the wrapper excludes the update and notifies the caller, which
 decides policy (the Trainer warns and continues; bench.py charges a
 measured proxy cost and annotates its output).
+
+Fallback triggers on COMPILE failures only: the programs donate their input
+state, so an execution-time failure (e.g. RESOURCE_EXHAUSTED) invalidates
+the caller's buffers and silently reusing them in a fallback tier would
+crash later with a confusing donated-buffer error (advisor round-2).  The
+tiers therefore compile explicitly via ``lower().compile()`` inside the
+guarded region and execute the compiled programs outside it - execution
+errors propagate to the caller.
 """
 
 from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,36 +35,76 @@ def make_robust_path_length(
 ):
     """``state -> (state, penalty, path_length)`` with tiered fallbacks:
     fused program, then grads/apply split, then exclusion (zeros returned,
-    ``on_excluded`` fired once).  ``pl_call.mode['m']`` exposes the active
-    tier ('fused' / 'split_ok' / 'excluded') for callers that need it."""
+    ``on_excluded`` fired once).  The jitted callables must be ``jax.jit``
+    objects (``.lower`` is used for the explicit compile).
+
+    Extras exposed on the returned callable:
+
+    * ``mode['m']`` - active tier (``'fused'`` / ``'split'`` / ``'excluded'``,
+      ``None`` before the first call);
+    * ``prepare(state)`` - compile the tiers without executing anything
+      (``state`` may be abstract, e.g. ``jax.eval_shape`` output) - used to
+      prewarm the persistent compilation cache;
+    * ``flops()`` - XLA cost-analysis fp-ops of the active tier's programs
+      per invocation, or ``None`` when excluded/unprepared (bench MFU
+      accounting must know whether path-length is included).
+    """
     mode = {"m": None}
+    exe = {}
+
+    def prepare(state) -> str:
+        """Compile (tiered, no execution); idempotent."""
+        if mode["m"] is not None:
+            return mode["m"]
+        try:
+            exe["fused"] = fused_jit.lower(state).compile()
+            mode["m"] = "fused"
+            return mode["m"]
+        except Exception:
+            pass
+        try:
+            exe["grads"] = grads_jit.lower(state).compile()
+            # abstract grads/new_mean for the apply lowering (no execution)
+            out_shapes = jax.eval_shape(grads_jit, state)
+            exe["apply"] = apply_jit.lower(
+                state, out_shapes[0], out_shapes[3]
+            ).compile()
+            mode["m"] = "split"
+        except Exception:
+            mode["m"] = "excluded"
+            if on_excluded is not None:
+                on_excluded()
+        return mode["m"]
 
     def pl_call(state):
         if mode["m"] is None:
-            try:
-                out = fused_jit(state)
-                mode["m"] = "fused"
-                return out
-            except Exception:
-                mode["m"] = "split"  # compile failure: state not consumed
+            prepare(state)
+        if mode["m"] == "fused":
+            return exe["fused"](state)
         if mode["m"] == "split":
-            try:
-                grads, pen, pl_len, new_mean = grads_jit(state)
-                state = apply_jit(state, grads, new_mean)
-                mode["m"] = "split_ok"
-                return state, pen, pl_len
-            except Exception:
-                mode["m"] = "excluded"
-                if on_excluded is not None:
-                    on_excluded()
-        if mode["m"] == "excluded":
-            return state, jnp.asarray(0.0), jnp.asarray(0.0)
-        if mode["m"] == "split_ok":
-            grads, pen, pl_len, new_mean = grads_jit(state)
-            state = apply_jit(state, grads, new_mean)
-            return state, pen, pl_len
-        return fused_jit(state)
+            grads, penalty, pl_len, new_mean = exe["grads"](state)
+            state = exe["apply"](state, grads, new_mean)
+            return state, penalty, pl_len
+        return state, jnp.asarray(0.0), jnp.asarray(0.0)
+
+    def flops() -> Optional[float]:
+        def cost(compiled) -> float:
+            analysis = compiled.cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            return float(analysis.get("flops", 0.0))
+
+        try:
+            if mode["m"] == "fused":
+                return cost(exe["fused"])
+            if mode["m"] == "split":
+                return cost(exe["grads"]) + cost(exe["apply"])
+        except Exception:
+            return None
+        return None
 
     pl_call.mode = mode
-    pl_call.lower = None  # no single lowering (cost analysis skips it)
+    pl_call.prepare = prepare
+    pl_call.flops = flops
+    pl_call.jits = (fused_jit, grads_jit, apply_jit)  # for cache prewarming
     return pl_call

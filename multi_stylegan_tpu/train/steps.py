@@ -106,7 +106,8 @@ def make_train_step(
         return discriminator32.apply({"params": d_params}, images)
 
     def d_ada(d_params, images, rng, p):
-        return d_raw(d_params, augment_sequences(rng, images, p))
+        return d_raw(d_params, augment_sequences(
+            rng, images, p, sequential_warps=cfg.ada_sequential_warps))
 
     def mapping(g_vars, z):
         return generator.apply(g_vars, z, method=Generator.map_latent)

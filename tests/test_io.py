@@ -74,6 +74,21 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored["b"]["c"]) == 3
 
 
+def test_checkpoint_structure_mismatch_hint(tmp_path):
+    """Restoring across the skip_nonfinite_updates format boundary (optax
+    apply_if_finite wraps the optimizer-state pytree) must fail with a
+    pointed migration message, not a bare orbax structure error."""
+    import optax
+
+    params = {"w": jnp.arange(4.0)}
+    opt_plain = optax.adam(1e-3)
+    opt_guarded = optax.apply_if_finite(optax.adam(1e-3), 100)
+    save_checkpoint(str(tmp_path / "old"), {"opt": opt_plain.init(params)})
+    with pytest.raises(Exception, match="skip_nonfinite_updates"):
+        load_checkpoint(str(tmp_path / "old"),
+                        template={"opt": opt_guarded.init(params)})
+
+
 def _fake_generator_state_dict(cfg):
     """Build a torch state_dict with the reference's names/shapes (SURVEY
     §2.3), random values."""

@@ -220,24 +220,74 @@ def test_ada_state_nonfinite_r_dropped():
 
 def test_robust_path_length_tiers():
     """The shared compile-robustness wrapper walks fused -> split ->
-    excluded, latches the working tier, and fires on_excluded exactly once."""
+    excluded on COMPILE failures, latches the working tier, and fires
+    on_excluded exactly once."""
+    import jax
+    import jax.numpy as jnp
+
     from multi_stylegan_tpu.train.robust import make_robust_path_length
 
-    def failing(*a):
+    state = jnp.arange(4.0)
+
+    def trace_fail(*a):
         raise RuntimeError("compile fail")
 
-    pl = make_robust_path_length(
-        failing, lambda s: ("G", 1.0, 2.0, 3.0), lambda s, g, m: s)
-    state, pen, pl_len = pl("ST")
-    assert state == "ST" and pl.mode["m"] == "split_ok"
+    failing = jax.jit(trace_fail)
+    grads_fn = jax.jit(
+        lambda s: (2.0 * s, jnp.float32(1.0), jnp.float32(2.0), jnp.float32(3.0))
+    )
+    apply_fn = jax.jit(lambda s, g, m: s + g)
+
+    pl = make_robust_path_length(failing, grads_fn, apply_fn)
+    out, pen, pl_len = pl(state)
+    assert pl.mode["m"] == "split" and float(pen) == 1.0
+    np.testing.assert_allclose(np.asarray(out), 3.0 * np.arange(4.0))
+    assert pl.flops() is not None and pl.flops() >= 0.0
 
     fired = []
     pl2 = make_robust_path_length(failing, failing, failing,
                                   on_excluded=lambda: fired.append(1))
-    s, p, l = pl2("ST")
+    s, p, l = pl2(state)
     assert pl2.mode["m"] == "excluded" and fired == [1] and float(p) == 0.0
-    pl2("ST")
+    assert pl2.flops() is None
+    pl2(state)
     assert fired == [1]  # sticky, fires once
 
-    pl3 = make_robust_path_length(lambda s: (s, 9.0, 8.0), failing, failing)
-    assert pl3("ST")[1] == 9.0 and pl3.mode["m"] == "fused"
+    fused_fn = jax.jit(lambda s: (s, jnp.float32(9.0), jnp.float32(8.0)))
+    pl3 = make_robust_path_length(fused_fn, failing, failing)
+    assert float(pl3(state)[1]) == 9.0 and pl3.mode["m"] == "fused"
+
+
+def test_robust_path_length_prepare_abstract_and_exec_failure():
+    """prepare() compiles from an abstract template without executing; an
+    EXECUTION-time failure must NOT trigger fallback (buffer donation means
+    the input state is already invalid - advisor round-2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
+
+    state = jnp.arange(4.0)
+    calls = []
+
+    def fused(s):
+        def boom(x):
+            calls.append(1)
+            raise ValueError("execution failure")
+        # compiles fine; raises only when the compiled program runs
+        jax.pure_callback(boom, jax.ShapeDtypeStruct((), jnp.float32), s[0])
+        return s, jnp.float32(0.0), jnp.float32(0.0)
+
+    grads_fn = jax.jit(
+        lambda s: (s, jnp.float32(1.0), jnp.float32(2.0), jnp.float32(3.0))
+    )
+    apply_fn = jax.jit(lambda s, g, m: s + g)
+    pl = make_robust_path_length(jax.jit(fused), grads_fn, apply_fn)
+
+    # abstract prepare: nothing executes, tier latches to fused
+    abstract = jax.eval_shape(lambda: state)
+    assert pl.prepare(abstract) == "fused" and not calls
+
+    with pytest.raises(Exception):
+        pl(state)
+    assert pl.mode["m"] == "fused", "execution failure must not change tier"
