@@ -155,3 +155,126 @@ def test_generator_matches_independent_torch_implementation():
     )
     assert img.shape == ref.shape
     np.testing.assert_allclose(np.asarray(img), ref, rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full U-Net discriminator oracle (VERDICT round-2 item 5): an INDEPENDENT
+# torch implementation of SURVEY.md §2.4 (ResNet blocks, minibatch-stddev,
+# SAGAN NonLocal with max-pooled phi/g, both heads, /sqrt(2) residuals,
+# reference u_net_2d_discriminator.py:14-140), routed through
+# convert_discriminator at the tiny config.  Proves the .pt checkpoint path
+# numerically on the discriminator as test_generator_matches_* does for G.
+# ---------------------------------------------------------------------------
+
+
+def _eq_conv(x, w, stride=1, pad=0, bias=None):
+    cin, kh, kw = w.shape[1], w.shape[2], w.shape[3]
+    y = F.conv2d(x, w * math.sqrt(2.0 / (cin * kh * kw)), stride=stride,
+                 padding=pad)
+    if bias is not None:
+        y = y + (bias * math.sqrt(2.0 / w.shape[0]))[None, :, None, None]
+    return y
+
+
+def _minibatch_std(x):
+    m = x - x.mean(dim=0, keepdim=True)
+    std = torch.sqrt((m ** 2).mean(dim=0).clamp(min=1e-8))
+    stat = std.mean().view(1, 1, 1, 1).repeat(x.shape[0], 1, x.shape[2],
+                                              x.shape[3])
+    return torch.cat([x, stat], dim=1)
+
+
+def _resnet_block(x, sd, prefix, mbstd=False):
+    y = _minibatch_std(x) if mbstd else x
+    y = _eq_conv(y, sd[f"{prefix}.main_mapping.0.weight"], pad=1)
+    y = _fused_lrelu(y, sd[f"{prefix}.main_mapping.1.bias"])
+    y = _eq_conv(y, sd[f"{prefix}.main_mapping.2.weight"], pad=1)
+    y = _fused_lrelu(y, sd[f"{prefix}.main_mapping.3.bias"])
+    res = x
+    if f"{prefix}.residual_mapping.weight" in sd:
+        res = _eq_conv(x, sd[f"{prefix}.residual_mapping.weight"])
+    return (y + res) / math.sqrt(2.0)
+
+
+def _nonlocal_block(x, sd, prefix, cout):
+    theta = _eq_conv(x, sd[f"{prefix}.theta.weight"])
+    phi = F.max_pool2d(_eq_conv(x, sd[f"{prefix}.phi.weight"]), 2)
+    g = F.max_pool2d(_eq_conv(x, sd[f"{prefix}.g.weight"]), 2)
+    b, c8, h, w = theta.shape
+    logits = torch.einsum(
+        "bcn,bcm->bnm", theta.reshape(b, c8, h * w), phi.reshape(b, c8, -1))
+    beta = torch.softmax(logits, dim=-1)
+    attended = torch.einsum(
+        "bnm,bcm->bcn", beta, g.reshape(b, cout // 2, -1)
+    ).reshape(b, cout // 2, h, w)
+    o = _eq_conv(attended, sd[f"{prefix}.o.weight"])
+    res = x
+    if f"{prefix}.residual_mapping.weight" in sd:
+        res = _eq_conv(x, sd[f"{prefix}.residual_mapping.weight"])
+    return (sd[f"{prefix}.gamma"] * o + res) / math.sqrt(2.0)
+
+
+def _torch_discriminator(x, sd, cfg):
+    """[B, C, T, H, W] -> (scalar [B, 1], pixel [B, 1, 1, H, W])."""
+    b, c, t, h, w = x.shape
+    y = x.reshape(b, c * t, h, w)
+    enc, dec = cfg.encoder_channels, cfg.decoder_channels
+    n_enc = len(enc)
+    features = []
+    for i, (_, cout) in enumerate(enc):
+        p = f"encoder_blocks.{i}"
+        if i == 2:
+            y = _nonlocal_block(y, sd, p, cout)
+        else:
+            y = _resnet_block(y, sd, p, mbstd=i >= n_enc - 2)
+        if i != n_enc - 1:
+            features.append(y)
+            y = _eq_conv(y, sd[f"downscale_convolutions.{i}.0.weight"],
+                         stride=2, bias=sd[f"downscale_convolutions.{i}.0.bias"])
+            y = _upfirdn(y, _blur_kernel(), pad=(2, 2))
+    pooled = y.mean(dim=(2, 3))
+    cls = _eq_linear(pooled, sd["classification_head.2.weight"])
+    cls = _fused_lrelu(cls, sd["classification_head.3.bias"])
+    cls = _eq_linear(cls, sd["classification_head.4.weight"])
+    for i, (din, dout) in enumerate(dec):
+        skip = features[-(i + 1)]
+        up = _upfirdn(y, _blur_kernel(), up=2, pad=(2, 1))
+        up = _eq_conv(up, sd[f"transposed_convolutions.{i}.1.weight"])
+        y = torch.cat([up, skip], dim=1)
+        p = f"decoder_blocks.{i}"
+        y = _nonlocal_block(y, sd, p, dout) if i == 1 else _resnet_block(y, sd, p)
+    y = _fused_lrelu(y, sd["final_mapping.0.bias"])
+    y = _eq_conv(y, sd["final_mapping.1.weight"])
+    return cls, y[:, :, None]
+
+
+def test_discriminator_matches_independent_torch_implementation():
+    from multi_stylegan_tpu.io import convert_discriminator
+    from multi_stylegan_tpu.models import Discriminator
+    from multi_stylegan_tpu.models.config import tiny_discriminator_config
+    from tests.test_io import _fake_discriminator_state_dict
+
+    cfg = tiny_discriminator_config()
+    sd_prefixed = _fake_discriminator_state_dict(cfg)
+    # gamma init 0 would zero the attention path: set nonzero so the oracle
+    # actually exercises theta/phi/g/o
+    sd_prefixed["discriminator.encoder_blocks.2.gamma"] = torch.tensor(0.7)
+    sd_prefixed["discriminator.decoder_blocks.1.gamma"] = torch.tensor(-0.4)
+    sd = {k.removeprefix("discriminator."): v for k, v in sd_prefixed.items()}
+
+    torch.manual_seed(11)
+    x = torch.randn(4, 2, 3, 32, 32)
+    with torch.no_grad():
+        ref_cls, ref_pix = _torch_discriminator(x, sd, cfg)
+
+    converted = convert_discriminator(sd_prefixed, cfg)
+    model = Discriminator(cfg)
+    cls, pix = model.apply(
+        {"params": jax.tree.map(jnp.asarray, converted["params"])},
+        jnp.asarray(x.numpy()),
+    )
+    assert cls.shape == tuple(ref_cls.shape) and pix.shape == tuple(ref_pix.shape)
+    np.testing.assert_allclose(np.asarray(cls), ref_cls.numpy(),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(pix), ref_pix.numpy(),
+                               rtol=5e-3, atol=5e-4)
