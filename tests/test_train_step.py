@@ -274,9 +274,10 @@ def test_robust_path_length_prepare_abstract_and_exec_failure():
         def boom(x):
             calls.append(1)
             raise ValueError("execution failure")
-        # compiles fine; raises only when the compiled program runs
-        jax.pure_callback(boom, jax.ShapeDtypeStruct((), jnp.float32), s[0])
-        return s, jnp.float32(0.0), jnp.float32(0.0)
+        # compiles fine; raises only when the compiled program runs (the
+        # callback output feeds the result so it cannot be DCE'd)
+        v = jax.pure_callback(boom, jax.ShapeDtypeStruct((), jnp.float32), s[0])
+        return s + v, jnp.float32(0.0), jnp.float32(0.0)
 
     grads_fn = jax.jit(
         lambda s: (s, jnp.float32(1.0), jnp.float32(2.0), jnp.float32(3.0))
@@ -289,5 +290,7 @@ def test_robust_path_length_prepare_abstract_and_exec_failure():
     assert pl.prepare(abstract) == "fused" and not calls
 
     with pytest.raises(Exception):
-        pl(state)
+        out = pl(state)
+        jax.block_until_ready(out)
+        np.asarray(out[0])  # force materialization of the poisoned result
     assert pl.mode["m"] == "fused", "execution failure must not change tier"
