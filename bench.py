@@ -25,14 +25,26 @@ import os
 import sys
 import time
 
+# remat field: False = none, True = every block, int = selective (only
+# blocks at >= that many pixels are rematerialized - models/config.py
+# remat_min_px).  b24 no-remat OOMs on one chip and full remat costs more
+# FLOPs than the batch gains; selective remat of just the >=128px blocks is
+# the round-3 lever for the reference's batch 24 (README.md:128).
 KNOWN_GOOD = ("bfloat16", 16, False)
-# b20/b18 first: b24 no-remat OOMs on one chip and full remat costs more
-# FLOPs than the batch gains; the gap between 16 and 24 was never explored
-EXPLORE = (("bfloat16", 20, False), ("bfloat16", 18, False),
-           ("bfloat16", 24, True))
+EXPLORE = (("bfloat16", 24, 128), ("bfloat16", 20, 128),
+           ("bfloat16", 20, False), ("bfloat16", 24, True))
 FALLBACKS = (("bfloat16", 8, False), ("float32", 16, True),
              ("bfloat16", 8, True), ("float32", 8, True),
              ("bfloat16", 4, True))
+
+
+def _remat_kw(remat):
+    """(remat, remat_min_px) model-config kwargs from a candidate field."""
+    if remat is False:
+        return dict(remat=False)
+    if remat is True:
+        return dict(remat=True, remat_min_px=0)
+    return dict(remat=True, remat_min_px=int(remat))
 
 # bf16 peak matmul throughput per chip, for the MFU estimate.
 _PEAK_BF16_FLOPS = {
@@ -80,8 +92,9 @@ def _build(dtype: str, batch: int, remat: bool):
     )
     from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
 
-    gcfg = GeneratorConfig(compute_dtype=dtype, remat=remat)
-    dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype, remat=remat)
+    gcfg = GeneratorConfig(compute_dtype=dtype, **_remat_kw(remat))
+    dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=dtype,
+                               **_remat_kw(remat))
     generator, discriminator = Generator(gcfg), Discriminator(dcfg)
     cfg = TrainingConfig(batch_size=batch, compute_dtype=dtype)
     state = create_train_state(jax.random.key(0), generator, discriminator, cfg)

@@ -38,6 +38,12 @@ class GeneratorConfig:
     # ~30% extra flops for large activation-memory savings; required to fit
     # the full config's path-length double-backward at batch 24 on one chip).
     remat: bool = True
+    # Selective remat: with remat=True, only blocks whose spatial extent is
+    # >= this many pixels are rematerialized (0 = every block, the round-2
+    # behavior).  The memory is in the large feature maps; the cheap
+    # low-resolution blocks are not worth recomputing (VERDICT round-2
+    # item 3: reach the reference's batch 24, README.md:128).
+    remat_min_px: int = 0
 
     @property
     def stage_channels(self) -> Tuple[int, ...]:
@@ -79,6 +85,8 @@ class DiscriminatorConfig:
     compute_dtype: str = "float32"
     # Rematerialize encoder/decoder blocks in the backward pass.
     remat: bool = True
+    # Selective remat threshold in pixels (see GeneratorConfig.remat_min_px).
+    remat_min_px: int = 0
 
     @property
     def input_channels(self) -> int:

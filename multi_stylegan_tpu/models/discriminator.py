@@ -86,18 +86,25 @@ class Discriminator(nn.Module):
         dec = cfg.decoder_channels
         blur_kernel = make_blur_kernel()
         n_enc = len(enc)
-        # Rematerialized blocks (jax.checkpoint) for backward-pass memory.
-        RB = nn.remat(ResNetBlock) if cfg.remat else ResNetBlock
-        NL = nn.remat(NonLocalBlock) if cfg.remat else NonLocalBlock
+
+        # Rematerialized blocks (jax.checkpoint) for backward-pass memory,
+        # selectively: only blocks at >= remat_min_px spatial extent (the
+        # large feature maps; recomputing the bottleneck buys no memory).
+        def pick(cls, px):
+            if cfg.remat and px >= cfg.remat_min_px:
+                return nn.remat(cls)
+            return cls
 
         # --- encoder ---
         features = []
         for i, (_, cout) in enumerate(enc):
+            px = h >> i  # resolution this block runs at
             if i == 2:
-                y = NL(cout, name=f"encoder_{i}")(y)
+                y = pick(NonLocalBlock, px)(cout, name=f"encoder_{i}")(y)
             else:
-                y = RB(cout, mini_batch_std_dev=i >= n_enc - 2,
-                       name=f"encoder_{i}")(y)
+                y = pick(ResNetBlock, px)(
+                    cout, mini_batch_std_dev=i >= n_enc - 2,
+                    name=f"encoder_{i}")(y)
             if i != n_enc - 1:
                 features.append(y)
                 # downscale: k3 s2 p0 conv then blur (pad (2,2))
@@ -118,10 +125,11 @@ class Discriminator(nn.Module):
             up = EqualizedConv2d(din - skip.shape[-1], 1, 1, 0, use_bias=False,
                                  name=f"upconv_{i}")(up)
             y = jnp.concatenate([up, skip], axis=-1)
+            px = (h >> (n_enc - 1)) << (i + 1)  # post-upsample resolution
             if i == 1:
-                y = NL(dout, name=f"decoder_{i}")(y)
+                y = pick(NonLocalBlock, px)(dout, name=f"decoder_{i}")(y)
             else:
-                y = RB(dout, name=f"decoder_{i}")(y)
+                y = pick(ResNetBlock, px)(dout, name=f"decoder_{i}")(y)
 
         # --- pixel-wise head (u_net_2d_discriminator.py:93-97, 139) ---
         y = FusedLeakyReLUModule(dec[-1][-1], name="final_act")(y)

@@ -31,7 +31,7 @@ _DEFAULT_IMPL = "xla"
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    if impl not in ("xla", "pallas"):
+    if impl not in ("xla", "pallas", "barrier"):
         raise ValueError(f"unknown impl {impl!r}")
     _DEFAULT_IMPL = impl
 
@@ -64,7 +64,15 @@ def fused_leaky_relu(
     axis: int = -1,
     impl: str = None,
 ) -> jax.Array:
-    """Dispatching fused bias + leaky-ReLU + scale."""
+    """Dispatching fused bias + leaky-ReLU + scale.
+
+    ``impl='barrier'`` is the XLA expression behind an
+    ``optimization_barrier`` on its input: the barrier's transpose lands on
+    the cotangent edge between the activation backward and the producing
+    conv's backward, so XLA cannot fold the elementwise chain (mask
+    recompute, scale casts, residual adds) into the backprop-filter fusions
+    it schedules at 0.2-0.4 bandwidth utilization (PERF.md "The wall").
+    """
     impl = impl or _DEFAULT_IMPL
     if impl == "pallas":
         from multi_stylegan_tpu.ops.pallas_kernels import fused_leaky_relu_pallas
@@ -72,4 +80,6 @@ def fused_leaky_relu(
         return fused_leaky_relu_pallas(
             x, bias, negative_slope=negative_slope, scale=scale, axis=axis
         )
+    if impl == "barrier":
+        x = jax.lax.optimization_barrier(x)
     return fused_leaky_relu_xla(x, bias, negative_slope, scale, axis)

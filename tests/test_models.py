@@ -149,3 +149,51 @@ def test_cut_mix_augmentation_mixes():
     mixed, target = generate_cut_mix_augmentation_data(jax.random.key(0), real, fake)
     assert mixed.shape == (2, 2, 3, 16, 16)
     np.testing.assert_array_equal(np.asarray(mixed[0, 0, 0]), np.asarray(target[0, 0, 0]))
+
+
+def test_selective_remat_is_numerically_transparent():
+    """remat_min_px changes WHERE activations are recomputed, never the
+    math: forward values and parameter gradients must match the no-remat
+    model exactly (same params)."""
+    from multi_stylegan_tpu.models import (
+        tiny_discriminator_config,
+        tiny_generator_config,
+    )
+
+    gcfg0 = tiny_generator_config(remat=False)
+    gcfg1 = tiny_generator_config(remat=True, remat_min_px=16)
+    g0, g1 = Generator(gcfg0), Generator(gcfg1)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "mixing": jax.random.key(2)}
+    z = jax.random.normal(jax.random.key(3), (2, gcfg0.latent_dimensions))
+    v = g0.init(rngs, z, randomize_noise=False)
+
+    def loss(model, params):
+        img = model.apply({"params": params, "noises": v["noises"]}, z,
+                          randomize_noise=False)
+        return jnp.sum(img ** 2), img
+
+    (l0, img0), grads0 = jax.value_and_grad(
+        lambda p: loss(g0, p), has_aux=True)(v["params"])
+    (l1, img1), grads1 = jax.value_and_grad(
+        lambda p: loss(g1, p), has_aux=True)(v["params"])
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    for a, b in zip(jax.tree.leaves(grads0), jax.tree.leaves(grads1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    dcfg0 = tiny_discriminator_config(remat=False)
+    dcfg1 = tiny_discriminator_config(remat=True, remat_min_px=16)
+    d0, d1 = Discriminator(dcfg0), Discriminator(dcfg1)
+    x = jax.random.normal(jax.random.key(4), (2, 2, 3, 32, 32))
+    dv = d0.init(jax.random.key(5), x)
+
+    def dloss(model, params):
+        s, p = model.apply({"params": params}, x)
+        return jnp.sum(s) + jnp.sum(p ** 2)
+
+    gd0 = jax.grad(lambda p: dloss(d0, p))(dv["params"])
+    gd1 = jax.grad(lambda p: dloss(d1, p))(dv["params"])
+    for a, b in zip(jax.tree.leaves(gd0), jax.tree.leaves(gd1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

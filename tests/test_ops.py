@@ -259,3 +259,32 @@ def test_modulated_conv_transpose_depth_to_space_equivalence(rng):
     ref = ref * _demod_factors(w, s, 0.37, 1e-8)[:, None, None, :]
     assert got.shape == (3, 10, 14, 24)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_leaky_relu_barrier_impl_matches_xla(rng):
+    """impl='barrier' (optimization_barrier fusion isolation, PERF.md) is
+    numerically identical to the plain expression through second order."""
+    import jax
+
+    from multi_stylegan_tpu.ops.fused_act import fused_leaky_relu
+
+    x = jnp.array(rng.normal(size=(4, 8, 8, 16)).astype(np.float32))
+    b = jnp.array(rng.normal(size=(16,)).astype(np.float32))
+
+    def loss(impl):
+        def f(x):
+            return jnp.sum(jnp.sin(fused_leaky_relu(x, b, scale=1.3, impl=impl)))
+        return f
+
+    np.testing.assert_array_equal(
+        np.asarray(fused_leaky_relu(x, b, impl="barrier")),
+        np.asarray(fused_leaky_relu(x, b, impl="xla")))
+    g_b = jax.grad(loss("barrier"))(x)
+    g_x = jax.grad(loss("xla"))(x)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_x), rtol=1e-6)
+
+    def second(impl):
+        return jax.grad(lambda x: jnp.sum(jax.grad(loss(impl))(x) ** 2))(x)
+
+    np.testing.assert_allclose(np.asarray(second("barrier")),
+                               np.asarray(second("xla")), rtol=1e-5, atol=1e-6)

@@ -69,6 +69,43 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(float(s1.ada.p), float(s8.ada.p), rtol=1e-5)
 
 
+def test_sharded_step_matches_single_device_all_branches_on():
+    """1-vs-8-device equivalence with EVERY schedule branch active (VERDICT
+    round-2 item 8): wrong-order, trap weights, cut-mix, EMA, and an ADA
+    controller mid-range p so the augmentation pipeline actually warps."""
+    gcfg = tiny_generator_config()
+    dcfg = tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=8, ada_r_update=1, ada_p_init=0.5)
+    state0 = create_train_state(jax.random.key(4), g, d, cfg)
+    trap = jnp.ones(gcfg.resolution, jnp.float32)
+    step_fn = make_train_step(g, d, cfg, top_k_start_iteration=0,
+                              top_k_final_iteration=2, trap_weights_map=trap)
+    batch = jax.random.uniform(jax.random.key(5), (8, 2, 3, 32, 32))
+    on = jnp.asarray(True)
+    flags = StepFlags(wrong_order=on, trap_weight=on, do_cut_mix=on, do_ema=on)
+
+    s1, m1 = jax.jit(step_fn)(state0, batch, flags)
+
+    mesh = make_mesh()
+    sharded_step = make_sharded_train_step(step_fn, mesh, donate=False)
+    s8, m8 = sharded_step(replicate_state(mesh, state0),
+                          shard_batch(mesh, batch), flags)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=2e-3, atol=2e-5, err_msg=k
+        )
+    for group in ("g_params", "d_params", "g_ema_params"):
+        for a, b in zip(jax.tree.leaves(getattr(s1, group)),
+                        jax.tree.leaves(getattr(s8, group))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(float(s1.ada.p), float(s8.ada.p), rtol=1e-5)
+    np.testing.assert_allclose(float(s1.ada.last_r), float(s8.ada.last_r),
+                               rtol=2e-3, atol=2e-5)
+
+
 def test_generator_forward_sharded_matches():
     gcfg = tiny_generator_config()
     g = Generator(gcfg)
