@@ -177,3 +177,20 @@ def test_trap_weights_map_through_train_step():
         float(m_flag_off["loss_discriminator_real_pixel_wise"]), rtol=1e-4)
     for v in m_weighted.values():
         assert np.isfinite(float(v))
+
+
+def test_teacher_fixture_contract():
+    """TeacherTLFMDataset: realizable 'real' data from a frozen random
+    generator, same [C, T, H, W]-in-[0,1] contract as the TLFM dataset."""
+    from multi_stylegan_tpu.data import TeacherTLFMDataset
+    from multi_stylegan_tpu.models import Generator, tiny_generator_config
+
+    g = Generator(tiny_generator_config())
+    ds = TeacherTLFMDataset(n_samples=6, resolution=(32, 32), generator=g,
+                            batch=4, compute_dtype="float32")
+    assert len(ds) == 6
+    s = ds[0]
+    assert s.shape == (2, 3, 32, 32)
+    assert s.min() >= 0.0 and s.max() <= 1.0 + 1e-6
+    # distinct samples (the teacher actually varies with z)
+    assert np.abs(ds[0] - ds[1]).max() > 1e-3

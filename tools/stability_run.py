@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="32px debug config (tool smoke tests).")
+    ap.add_argument("--fixture", default="blobs", choices=("blobs", "teacher"),
+                    help="teacher: 'real' data from a frozen random "
+                         "Generator - realizable target, balanced dynamics "
+                         "(VERDICT round-2 item 6)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +42,11 @@ def main() -> None:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
-    from multi_stylegan_tpu.data import BatchLoader, SyntheticTLFMDataset
+    from multi_stylegan_tpu.data import (
+        BatchLoader,
+        SyntheticTLFMDataset,
+        TeacherTLFMDataset,
+    )
     from multi_stylegan_tpu.io.checkpoint import CheckpointManager
     from multi_stylegan_tpu.models import Discriminator, Generator
     from multi_stylegan_tpu.models.config import (
@@ -73,11 +81,15 @@ def main() -> None:
     pl = _robust_pl_step(step_fn)  # fused -> split -> warn+skip (infra)
     lazy = cfg.lazy_discriminator_regularization
 
-    data = BatchLoader(
-        SyntheticTLFMDataset(n_samples=max(64, args.batch * 4),
-                             resolution=gcfg.resolution),
-        batch_size=args.batch, seed=0, num_workers=1,
-    )
+    if args.fixture == "teacher":
+        fixture = TeacherTLFMDataset(
+            n_samples=max(256, args.batch * 8), resolution=gcfg.resolution,
+            compute_dtype=args.dtype, batch=args.batch,
+        )
+    else:
+        fixture = SyntheticTLFMDataset(n_samples=max(64, args.batch * 4),
+                                       resolution=gcfg.resolution)
+    data = BatchLoader(fixture, batch_size=args.batch, seed=0, num_workers=1)
     batches = iter(_cycle(data))
     on, off = jnp.asarray(True), jnp.asarray(False)
     # scratch checkpoints: stale state from a previous run (possibly an
@@ -89,7 +101,8 @@ def main() -> None:
 
     report = {
         "config": {"steps": args.steps, "batch": args.batch,
-                   "dtype": args.dtype, "resolution": list(gcfg.resolution)},
+                   "dtype": args.dtype, "resolution": list(gcfg.resolution),
+                   "fixture": args.fixture},
         "device": jax.devices()[0].device_kind,
         "events": [],
         "nan_steps": [],
@@ -156,9 +169,12 @@ def main() -> None:
         report["seqs_per_sec"] = round(args.batch * (i1 - i0) / (s1 - s0), 3)
     report["wall_s"] = round(wall, 1)
     report["final_step"] = int(jax.device_get(state.step))
-    report["loss_tail"] = [
-        {"step": i, "g": g, "d": d, "ada_p": p} for i, _, g, d, p in t_log[-4:]
+    report["trace"] = [
+        {"step": i, "g": g, "d": d, "ada_p": p} for i, _, g, d, p in t_log
     ]
+    report["loss_tail"] = report["trace"][-4:]
+    ada_ps = [p for *_, p in t_log if p is not None]
+    report["ada_p_range"] = [min(ada_ps), max(ada_ps)] if ada_ps else None
     # params must end finite (metrics can hide poisoned samples via top-k)
     bad_params = []
     for group in ("g_params", "d_params", "g_ema_params"):
