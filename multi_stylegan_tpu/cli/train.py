@@ -64,6 +64,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no_remat", default=False, action="store_true",
                         help="Disable block rematerialization (more memory, "
                              "faster backward; fits at bfloat16).")
+    parser.add_argument("--remat_min_px", default=0, type=int,
+                        help="Selective remat: only blocks at >= this many "
+                             "pixels are rematerialized (0 = all blocks). "
+                             "128 fits batch 24 on one chip with less "
+                             "recompute than full remat.")
+    parser.add_argument("--ada_sequential_warps", default=False,
+                        action="store_true",
+                        help="Reproduce the reference's four separate ADA "
+                             "warps instead of the composed single warp "
+                             "(exact reference behavior, 4x the resampling).")
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a jax platform (e.g. 'cpu'); the axon TPU "
                              "plugin ignores JAX_PLATFORMS, this flag works.")
@@ -93,17 +103,18 @@ def main(argv=None) -> None:
     from multi_stylegan_tpu.parallel import make_mesh, batch_sharding
     from multi_stylegan_tpu.train.loop import Trainer
 
+    remat_kw = dict(remat=not args.no_remat, remat_min_px=args.remat_min_px)
     if args.tiny:
         gcfg = tiny_generator_config(
             compat_tower2_output_bug=args.compat_tower2_bug,
-            compute_dtype=args.dtype, remat=not args.no_remat)
+            compute_dtype=args.dtype, **remat_kw)
         dcfg = tiny_discriminator_config(
-            compute_dtype=args.dtype, remat=not args.no_remat)
+            compute_dtype=args.dtype, **remat_kw)
     else:
         gcfg = GeneratorConfig(compat_tower2_output_bug=args.compat_tower2_bug,
-                               compute_dtype=args.dtype, remat=not args.no_remat)
+                               compute_dtype=args.dtype, **remat_kw)
         dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=args.dtype,
-                                   remat=not args.no_remat)
+                                   **remat_kw)
 
     cfg = TrainingConfig(
         batch_size=args.batch_size,
@@ -112,6 +123,7 @@ def main(argv=None) -> None:
         lr_discriminator=args.lr_discriminator,
         top_k=not args.no_top_k,
         ada=not args.no_ada,
+        ada_sequential_warps=args.ada_sequential_warps,
         resume_training=args.resume_training,
         seed=args.seed,
     )

@@ -88,23 +88,31 @@ def main() -> None:
         return sum(jnp.sum(l.astype(jnp.float32).ravel()[:1])
                    for l in jax.tree.leaves(tree))
 
-    def d_param_grad(d_params, data):
-        def loss(p):
-            s_out, p_out = discriminator.apply({"params": p}, data)
-            # both heads, like the NS loss path (loss.py:124-128)
-            return jnp.sum(jax.nn.softplus(s_out)) + jnp.sum(
-                jax.nn.softplus(p_out))
-        return touch(jax.grad(loss)(d_params))
+    def make_probes():
+        """FRESH function objects per impl: jax.jit caches on the underlying
+        callable, so re-jitting the same closure after set_default_impl
+        would silently reuse the previous impl's executable (observed: the
+        'barrier' run hit the 'xla' cache and measured nothing)."""
 
-    def g_param_grad(g_params, d_params, z):
-        def loss(p):
-            img = generator.apply(
-                {"params": p, "noises": state.g_noises}, z,
-                randomize_noise=False)
-            s_out, p_out = discriminator.apply({"params": d_params}, img)
-            return jnp.sum(jax.nn.softplus(-s_out)) + jnp.sum(
-                jax.nn.softplus(-p_out))
-        return touch(jax.grad(loss)(g_params))
+        def d_param_grad(d_params, data):
+            def loss(p):
+                s_out, p_out = discriminator.apply({"params": p}, data)
+                # both heads, like the NS loss path (loss.py:124-128)
+                return jnp.sum(jax.nn.softplus(s_out)) + jnp.sum(
+                    jax.nn.softplus(p_out))
+            return touch(jax.grad(loss)(d_params))
+
+        def g_param_grad(g_params, d_params, z):
+            def loss(p):
+                img = generator.apply(
+                    {"params": p, "noises": state.g_noises}, z,
+                    randomize_noise=False)
+                s_out, p_out = discriminator.apply({"params": d_params}, img)
+                return jnp.sum(jax.nn.softplus(-s_out)) + jnp.sum(
+                    jax.nn.softplus(-p_out))
+            return touch(jax.grad(loss)(g_params))
+
+        return d_param_grad, g_param_grad
 
     def bench(fn, a):
         t0 = time.perf_counter()
@@ -120,6 +128,7 @@ def main() -> None:
     results = {}
     for impl in args.impls.split(","):
         fused_act.set_default_impl(impl)
+        d_param_grad, g_param_grad = make_probes()
         row = {}
         try:
             row["d_param_grad_ms"], row["d_compile_s"] = bench(
