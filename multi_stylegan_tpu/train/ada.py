@@ -57,7 +57,16 @@ class AdaState:
 
 def calc_r(prediction_scalar: jax.Array, prediction_pixel_wise: jax.Array) -> jax.Array:
     """Overfitting heuristic r = 0.5 E[sign(D_s)] + 0.5 E[sign(mean D_p)]
-    (ada.py:43-52), computed on FAKE batches only."""
+    (ada.py:43-52), computed on FAKE batches only (ada.py:76-79 appends r
+    under ``if not is_real``).
+
+    Quirk kept faithfully: StyleGAN2-ADA's r_t is E[sign(D(real))] (rises
+    when D overfits), but this reference signs the *fake* predictions — so
+    r > r_target (and hence p increasing) happens only when the GENERATOR
+    fools D on most samples, and a dominant D drives r to -1 and pins p at
+    0. The round-2 hardware stability run showed exactly that (ada_p pinned
+    at 0.0 while D collapsed the synthetic fixture): correct behavior for
+    this controller, not a stuck state."""
     r1 = jnp.mean(jnp.sign(prediction_scalar))
     r2 = jnp.mean(jnp.sign(jnp.mean(prediction_pixel_wise, axis=(-1, -2))))
     return 0.5 * r1 + 0.5 * r2

@@ -134,10 +134,11 @@ def main() -> None:
                 t_log.append((i, time.perf_counter(),
                               host.get("loss_generator"),
                               host.get("loss_discriminator_real"),
-                              host.get("ada_p")))
+                              host.get("ada_p"), host.get("ada_r")))
                 print(f"step {i}: G={host.get('loss_generator'):.3f} "
                       f"D={host.get('loss_discriminator_real'):.3f} "
-                      f"ada_p={host.get('ada_p'):.3f}", flush=True)
+                      f"ada_p={host.get('ada_p'):.3f} "
+                      f"ada_r={host.get('ada_r', float('nan')):.3f}", flush=True)
         return state
 
     t_log = []
@@ -170,10 +171,11 @@ def main() -> None:
     report["wall_s"] = round(wall, 1)
     report["final_step"] = int(jax.device_get(state.step))
     report["trace"] = [
-        {"step": i, "g": g, "d": d, "ada_p": p} for i, _, g, d, p in t_log
+        {"step": i, "g": g, "d": d, "ada_p": p, "ada_r": r}
+        for i, _, g, d, p, r in t_log
     ]
     report["loss_tail"] = report["trace"][-4:]
-    ada_ps = [p for *_, p in t_log if p is not None]
+    ada_ps = [p for *_, p, _ in t_log if p is not None]
     report["ada_p_range"] = [min(ada_ps), max(ada_ps)] if ada_ps else None
     # params must end finite (metrics can hide poisoned samples via top-k)
     bad_params = []
