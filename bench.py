@@ -78,6 +78,9 @@ def _robust_pl(step_fn):
         jax.jit(step_fn.path_length_update, donate_argnums=(0,)),
         jax.jit(step_fn.path_length_grads),
         jax.jit(step_fn.path_length_apply, donate_argnums=(0,)),
+        chunked_jits=tuple(
+            jax.jit(step_fn.path_length_grads_chunked(n)) for n in (2, 4)
+        ),
     )
 
 
@@ -185,7 +188,8 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     }
     if pl.mode["m"] == "excluded":
         # The degraded compile helper could not build any second-order G
-        # program (fused OR split): the loop ran without path-length.  Stay
+        # program (fused, split, or chunked): the loop ran without
+        # path-length.  Stay
         # honest: charge a conservative proxy of 2x the measured r1 cost on
         # the every-16 cadence and annotate.  (flops also exclude PL then:
         # the MFU is for the programs that actually ran.)
@@ -326,6 +330,10 @@ def prewarm() -> None:
                     jax.eval_shape(grads_jit, state)[0],
                     jax.eval_shape(grads_jit, state)[3],
                 ).compile()),
+            ) + tuple(
+                (f"pl_chunk{n + 2}",
+                 lambda cj=cj: cj.lower(state).compile())
+                for n, cj in enumerate(pl.chunked_jits)
             ):
                 try:
                     compile_one()

@@ -37,8 +37,8 @@ def _robust_pl_step(step_fn, fused_kw=None, grads_kw=None, apply_kw=None):
         import warnings
 
         warnings.warn(
-            "path-length regularization DISABLED: neither the fused nor the "
-            "split second-order program compiled (remote compile-helper "
+            "path-length regularization DISABLED: no second-order G program "
+            "compiled (fused, split, or chunked - remote compile-helper "
             "failure). Training continues without it; restart on a healthy "
             "runtime to restore it.",
             RuntimeWarning,
@@ -51,6 +51,10 @@ def _robust_pl_step(step_fn, fused_kw=None, grads_kw=None, apply_kw=None):
         jax.jit(step_fn.path_length_apply, **(apply_kw or
                                               dict(donate_argnums=(0,)))),
         on_excluded=warn_excluded,
+        chunked_jits=tuple(
+            jax.jit(step_fn.path_length_grads_chunked(n), **(grads_kw or {}))
+            for n in (2, 4)
+        ),
     )
 
 

@@ -32,11 +32,15 @@ def make_robust_path_length(
     grads_jit: Callable,
     apply_jit: Callable,
     on_excluded: Optional[Callable[[], None]] = None,
+    chunked_jits: tuple = (),
 ):
     """``state -> (state, penalty, path_length)`` with tiered fallbacks:
-    fused program, then grads/apply split, then exclusion (zeros returned,
-    ``on_excluded`` fired once).  The jitted callables must be ``jax.jit``
-    objects (``.lower`` is used for the explicit compile).
+    fused program, then grads/apply split, then each ``chunked_jits`` entry
+    (scan-over-sub-batches grads, steps.py path_length_grads_chunked - peak
+    memory divided by the chunk count, so it compiles on a degraded helper
+    that rejects the monolithic grads program), then exclusion (zeros
+    returned, ``on_excluded`` fired once).  The jitted callables must be
+    ``jax.jit`` objects (``.lower`` is used for the explicit compile).
 
     Extras exposed on the returned callable:
 
@@ -62,18 +66,23 @@ def make_robust_path_length(
             return mode["m"]
         except Exception:
             pass
-        try:
-            exe["grads"] = grads_jit.lower(state).compile()
-            # abstract grads/new_mean for the apply lowering (no execution)
-            out_shapes = jax.eval_shape(grads_jit, state)
-            exe["apply"] = apply_jit.lower(
-                state, out_shapes[0], out_shapes[3]
-            ).compile()
-            mode["m"] = "split"
-        except Exception:
-            mode["m"] = "excluded"
-            if on_excluded is not None:
-                on_excluded()
+        for name, g_jit in (("split", grads_jit),) + tuple(
+            (f"chunked{i + 2}", cj) for i, cj in enumerate(chunked_jits)
+        ):
+            try:
+                exe["grads"] = g_jit.lower(state).compile()
+                # abstract grads/new_mean for the apply lowering (no execution)
+                out_shapes = jax.eval_shape(g_jit, state)
+                exe["apply"] = apply_jit.lower(
+                    state, out_shapes[0], out_shapes[3]
+                ).compile()
+                mode["m"] = name
+                return mode["m"]
+            except Exception:
+                continue
+        mode["m"] = "excluded"
+        if on_excluded is not None:
+            on_excluded()
         return mode["m"]
 
     def pl_call(state):
@@ -81,7 +90,7 @@ def make_robust_path_length(
             prepare(state)
         if mode["m"] == "fused":
             return exe["fused"](state)
-        if mode["m"] == "split":
+        if mode["m"] != "excluded":  # split or chunkedN
             grads, penalty, pl_len, new_mean = exe["grads"](state)
             state = exe["apply"](state, grads, new_mean)
             return state, penalty, pl_len
@@ -97,7 +106,7 @@ def make_robust_path_length(
         try:
             if mode["m"] == "fused":
                 return cost(exe["fused"])
-            if mode["m"] == "split":
+            if mode["m"] not in (None, "excluded"):  # split or chunkedN
                 return cost(exe["grads"]) + cost(exe["apply"])
         except Exception:
             return None
@@ -107,4 +116,5 @@ def make_robust_path_length(
     pl_call.prepare = prepare
     pl_call.flops = flops
     pl_call.jits = (fused_jit, grads_jit, apply_jit)  # for cache prewarming
+    pl_call.chunked_jits = tuple(chunked_jits)
     return pl_call

@@ -19,6 +19,8 @@ Sub-steps are also exposed individually for testing.
 
 from __future__ import annotations
 
+import math
+
 from typing import Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -509,6 +511,85 @@ def make_train_step(
             g_ema_params=ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
         )
 
+    def path_length_grads_chunked(n_chunks: int):
+        """Tier-3 compile fallback: ``path_length_grads`` with the f32
+        grad-of-grad synthesis ``lax.scan``'ed over ``n_chunks`` sub-batches.
+
+        The remote compile helper's failures are shape/memory-dependent (the
+        b16 main program compiles while b18's does not), so halving the
+        second-order synthesis batch makes the largest program in the suite
+        compilable again at the same op count.  The math is the full-batch
+        math: per-sample path lengths couple across the batch only through
+        the scalar mean pl = (1/bs)*sum_i pl_i, hence
+
+            d(w*pen)/dtheta = w * 2*(1-decay)^2 * (pl - a) * (1/bs) sum_i d pl_i/dtheta
+
+        and the per-sample terms can be accumulated chunk by chunk.  All
+        random draws (w+, per-layer noise, the path-length probe y) use the
+        full-batch keys and are sliced per chunk, so the sample set is
+        byte-identical to ``path_length_grads``; results differ only by fp
+        reassociation of the sums (tested ~1e-5 on CPU).
+        """
+
+        def grads_chunked(state: TrainState):
+            bs = max(1, int(cfg.batch_size_shrink_path_length_regularization
+                            * cfg.batch_size))
+            if bs % n_chunks != 0:
+                raise ValueError(f"bs={bs} not divisible by {n_chunks} chunks")
+            cbs = bs // n_chunks
+            base = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step), 17)
+            k_w, k_n, k_pl = jax.random.split(base, 3)
+            g_vars = {"params": state.g_params, "noises": state.g_noises}
+            noise_list = generator.random_noise(bs, k_n)
+            # path-length probe noise: same draw as losses.path_length_grads
+            img_shape = jax.eval_shape(
+                lambda wp: synthesize32(g_vars, wp, noise_list),
+                jax.eval_shape(lambda: build_wplus(g_vars, k_w, bs))).shape
+            t, h, w = img_shape[2], img_shape[3], img_shape[4]
+            y_full = jax.random.normal(k_pl, img_shape) / math.sqrt(t * h * w)
+
+            def chunked(a):
+                return a.reshape(n_chunks, cbs, *a.shape[1:])
+
+            xs = (jax.tree.map(chunked, noise_list), chunked(y_full),
+                  jnp.arange(n_chunks))
+
+            def pl_sum_of(g_params, noise_c, y_c, i):
+                gv = {"params": g_params, "noises": state.g_noises}
+                wp_c = jax.lax.dynamic_slice_in_dim(
+                    build_wplus(gv, k_w, bs), i * cbs, cbs, axis=0)
+
+                def dotted(wp):
+                    return jnp.sum(synthesize32(gv, wp, noise_c) * y_c)
+
+                gw = jax.grad(dotted)(wp_c)
+                # per-sample path lengths, summed (mean taken after the scan)
+                return jnp.sum(jnp.sqrt(
+                    jnp.mean(jnp.sum(jnp.square(gw), axis=2), axis=1) + 1e-8))
+
+            def body(carry, x):
+                acc, s = carry
+                noise_c, y_c, i = x
+                s_c, g_c = jax.value_and_grad(pl_sum_of)(
+                    state.g_params, noise_c, y_c, i)
+                return (jax.tree.map(jnp.add, acc, g_c), s + s_c), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.g_params)
+            (acc, s), _ = jax.lax.scan(body, (zeros, jnp.asarray(0.0)), xs)
+
+            pl = s / bs
+            a = jax.lax.stop_gradient(state.mean_path_length)
+            new_mean = a + cfg.path_length_decay * (pl - a)
+            pen = jnp.square(pl - new_mean)
+            scale = (cfg.w_generator_regularization * 2.0
+                     * (1.0 - cfg.path_length_decay) * (pl - new_mean) / bs)
+            grads = jax.tree.map(lambda g: scale * g, acc)
+            return grads, pen, pl, jax.lax.stop_gradient(new_mean)
+
+        grads_chunked.__name__ = f"path_length_grads_chunk{n_chunks}"
+        return grads_chunked
+
     # expose sub-steps for unit tests and split-mode drivers
     train_step.d_step = d_step
     train_step.g_step = g_step
@@ -522,4 +603,5 @@ def make_train_step(
     train_step.path_length_update = path_length_update
     train_step.path_length_grads = path_length_grads
     train_step.path_length_apply = path_length_apply
+    train_step.path_length_grads_chunked = path_length_grads_chunked
     return train_step

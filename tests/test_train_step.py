@@ -172,6 +172,80 @@ def test_path_length_split_matches_fused():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_path_length_chunked_matches_full():
+    """The scan-over-chunks grads program (tier-3 compile fallback for the
+    degraded remote helper) must match path_length_grads: identical sample
+    set (full-batch keys, per-chunk slicing), gradients equal up to fp
+    reassociation of the batch mean."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.models import (
+        Discriminator,
+        Generator,
+        tiny_discriminator_config,
+        tiny_generator_config,
+    )
+    from multi_stylegan_tpu.models.config import TrainingConfig
+    from multi_stylegan_tpu.train import create_train_state, make_train_step
+
+    gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=8)  # pl bs = 4 after the 0.5 shrink
+    state = create_train_state(jax.random.key(0), g, d, cfg)
+    state = state.replace(step=state.step + 3)
+    step_fn = make_train_step(g, d, cfg)
+
+    grads_f, pen_f, pl_f, mean_f = jax.jit(step_fn.path_length_grads)(state)
+    for n in (1, 2, 4):
+        grads_c, pen_c, pl_c, mean_c = jax.jit(
+            step_fn.path_length_grads_chunked(n))(state)
+        np.testing.assert_allclose(float(pen_f), float(pen_c), rtol=1e-5)
+        np.testing.assert_allclose(float(pl_f), float(pl_c), rtol=1e-5)
+        np.testing.assert_allclose(float(mean_f), float(mean_c), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-7)
+    # a chunk count that does not divide the pl batch fails at trace time
+    # (the robust wrapper's prepare() then just moves to the next tier)
+    with pytest.raises(ValueError):
+        jax.jit(step_fn.path_length_grads_chunked(3))(state)
+
+
+def test_robust_path_length_chunked_tier():
+    """When fused AND split fail to compile, the wrapper walks the chunked
+    jits in order and uses the first that compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
+
+    state = jnp.arange(4.0)
+
+    def trace_fail(*a):
+        raise RuntimeError("compile fail")
+
+    failing = jax.jit(trace_fail)
+    chunk_ok = jax.jit(
+        lambda s: (3.0 * s, jnp.float32(4.0), jnp.float32(5.0), jnp.float32(6.0))
+    )
+    apply_fn = jax.jit(lambda s, g, m: s + g)
+
+    pl = make_robust_path_length(failing, failing, apply_fn,
+                                 chunked_jits=(failing, chunk_ok))
+    out, pen, pl_len = pl(state)
+    assert pl.mode["m"] == "chunked3" and float(pen) == 4.0
+    np.testing.assert_allclose(np.asarray(out), 4.0 * np.arange(4.0))
+    assert pl.flops() is not None
+
+    fired = []
+    pl2 = make_robust_path_length(failing, failing, apply_fn,
+                                  chunked_jits=(failing,),
+                                  on_excluded=lambda: fired.append(1))
+    pl2(state)
+    assert pl2.mode["m"] == "excluded" and fired == [1]
+
+
 def test_nonfinite_update_guard():
     """A NaN gradient must be skipped, not applied (optax apply_if_finite):
     one bad second-order step poisoned the whole state in the round-2
