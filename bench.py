@@ -354,6 +354,30 @@ def prewarm() -> None:
         print(f"prewarm FAILED sampling: {type(exc).__name__}", flush=True)
 
 
+def _worker_health() -> dict:
+    """Chained-matmul roofline probe (tools/runtime_health.py): records how
+    healthy the degradable shared worker is at bench time, so a low headline
+    number can be attributed (framework vs runtime).  v5e bf16 peak is 197
+    TF/s; a healthy worker lands ~170+."""
+    import jax
+    import jax.numpy as jnp
+
+    n, iters = 8192, 32
+    x = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        return jax.lax.fori_loop(0, iters, lambda _, y: (y @ b) * 1e-4, a)
+
+    y = chain(x, x)
+    float(y[0, 0].astype(jnp.float32))  # host fetch = only reliable barrier
+    t0 = time.perf_counter()
+    y = chain(y, x)
+    float(y[0, 0].astype(jnp.float32))
+    dt = (time.perf_counter() - t0) / iters
+    return {"worker_matmul_tflops": round(2 * n**3 / dt / 1e12, 1)}
+
+
 def main() -> None:
     if "--prewarm" in sys.argv:
         prewarm()
@@ -387,6 +411,10 @@ def main() -> None:
         )
     except Exception:
         pass  # never let the aux number break the headline metric
+    try:
+        out.update(_worker_health())
+    except Exception:
+        pass
     print(json.dumps(out))
 
 

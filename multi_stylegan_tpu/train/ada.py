@@ -285,17 +285,84 @@ def _fold_reflect(acc: jax.Array, k: int) -> jax.Array:
     return fold_axis(fold_axis(acc, 1), 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _warp_fast_grad(images, inv_mat, padding):
+def _warp_adjoint_matmul(g: jax.Array, inv_mat: jax.Array, padding: str,
+                         chunk: int = 4096) -> jax.Array:
+    """Adjoint of the bilinear warp as dense interpolation MATMULS - no
+    gather, no scatter (TPU scatters serialize; this rides the MXU).
+
+    The warp is linear in the image with separable per-axis taps, and the
+    reflect fold acts independently per axis, so the transpose factors:
+
+        dimg[b,i,j,c] = sum_N Wy[b,N,i] * Wx[b,N,j] * g[b,N,c]
+
+    over flattened output pixels N, where the FOLDED hat weights have a
+    closed form per target index (single-reflection preimages i, -i and
+    2(n-1)-i of the align_corners mirror):
+
+        Wy[.., i] = hat(s - i) + [i>=1] hat(s + i) + [i<=n-2] hat(s - (2(n-1)-i))
+
+    (hat(d) = max(0, 1-|d|); for zeros padding just the first term, which
+    also reproduces the forward's joint in-bounds mask since it factors per
+    axis).  Pure iota arithmetic + one batched matmul per chunk; the sum
+    over N is lax.scan'ed in chunks to bound the weight tensors' memory.
+
+    Exact (up to fp reassociation) whenever source coords stay within one
+    reflection, |s| <= n-1 and s <= 2(n-1) - the same reach bound as
+    _reflect_pad_k, satisfied by every composed ADA warp out to ~6 sigma of
+    the scale jitter."""
+    b, h, w, c = g.shape
+    sxc, syc = _warp_coords((b, h, w), inv_mat)
+    n = h * w
+    ck = max(1, min(chunk, n))
+    while n % ck:
+        ck -= 1  # n is 2^k * 2^k in practice; first divisor otherwise
+    steps = n // ck
+    sy = jnp.moveaxis(syc.reshape(b, steps, ck), 1, 0)
+    sx = jnp.moveaxis(sxc.reshape(b, steps, ck), 1, 0)
+    gf = jnp.moveaxis(
+        g.reshape(b, steps, ck, c).astype(jnp.float32), 1, 0)
+    iy = jnp.arange(h, dtype=jnp.float32)
+    ix = jnp.arange(w, dtype=jnp.float32)
+
+    def hat(d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+    def wfold(s, idx, m):
+        d = s[..., None]  # [B, ck, 1] vs idx [m]
+        wgt = hat(d - idx)
+        if padding == "reflect":
+            wgt = wgt + jnp.where(idx >= 1.0, hat(d + idx), 0.0)
+            wgt = wgt + jnp.where(
+                idx <= m - 2.0, hat(d - (2.0 * (m - 1.0) - idx)), 0.0)
+        return wgt
+
+    def body(acc, xs_):
+        sy_c, sx_c, g_c = xs_
+        wy = wfold(sy_c, iy, h)  # [B, ck, H]
+        wx = wfold(sx_c, ix, w)  # [B, ck, W]
+        t = (wx[..., :, None] * g_c[..., None, :]).reshape(b, -1, w * c)
+        out = jnp.einsum("bni,bnk->bik", wy, t,
+                         preferred_element_type=jnp.float32)
+        return acc + out.reshape(b, h, w, c), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((b, h, w, c), jnp.float32),
+                          (sy, sx, gf))
+    return acc.astype(g.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _warp_custom(images, inv_mat, padding, impl):
     return _warp(images, inv_mat, padding)
 
 
-def _warp_fast_fwd(images, inv_mat, padding):
+def _warp_custom_fwd(images, inv_mat, padding, impl):
     return _warp(images, inv_mat, padding), inv_mat
 
 
-def _warp_fast_bwd(padding, inv_mat, g):
-    if padding == "reflect":
+def _warp_custom_bwd(padding, impl, inv_mat, g):
+    if impl == "matmul":
+        gi = _warp_adjoint_matmul(g, inv_mat, padding)
+    elif padding == "reflect":
         k = _reflect_pad_k(g.shape[1], g.shape[2])
         gi = _fold_reflect(_warp_adjoint_gather(g, inv_mat, pad_k=k), k)
     else:
@@ -303,28 +370,45 @@ def _warp_fast_bwd(padding, inv_mat, g):
     return gi, jnp.zeros_like(inv_mat)
 
 
-_warp_fast_grad.defvjp(_warp_fast_fwd, _warp_fast_bwd)
+_warp_custom.defvjp(_warp_custom_fwd, _warp_custom_bwd)
 
 
-# The gather adjoint is EXACT for zeros padding (used for the 90-degree
-# rotations).  For reflect padding the adjoint runs on the reflect-padded
-# grid and folds the bands back (_fold_reflect) - exact whenever the static
-# pad (_reflect_pad_k, 0.4*extent) covers the warp's source reach, i.e. for
-# every rotation combined with scale jitter out to ~6 sigma of the ADA
-# log-normal.
+# Adjoint implementations, selectable per padding mode:
 #
-# Default OFF for reflect, by measurement (TPU v5e, [16,256,256,6] grad,
-# host-fetch barrier, 2026-08-16): the 3.3x-larger padded grid makes the
-# exact fold-gather 687 ms vs 202 ms for the true autodiff transpose
-# (XLA scatter); for zeros padding the plain gather wins (173 vs 202 ms)
-# and stays the default.  set_ada_fast_grad(True) opts reflect warps into
-# the (exact) fold-gather where scatters are pathological.
-_FAST_GRAD_REFLECT = False
+#   "scatter"     - plain autodiff transpose of the gather forward (XLA
+#                   scatter-add).  Exact for everything; TPU scatters
+#                   serialize (202 ms for a [16,256,256,6] grad).
+#   "fold_gather" - 5x5-window gather on the reflect-padded grid + band
+#                   fold (_warp_adjoint_gather/_fold_reflect).  Exact while
+#                   _reflect_pad_k covers the source reach; measured 687 ms
+#                   (reflect, 3.3x padded grid) / 173 ms (zeros).
+#   "matmul"      - dense folded-hat interpolation matmuls on the MXU
+#                   (_warp_adjoint_matmul).  No gather or scatter at all;
+#                   exact within one reflection (same reach bound).
+#
+# Default: "matmul", by measurement (TPU v5e, full augmentation pipeline on
+# [16,2,3,256,256], host-fetch barrier, 2026-08-17): pipeline fwd+bwd
+# 347.8 ms with the scatter adjoint vs 34.3 ms with the matmul adjoint
+# (10x; the backward-only program also drops the forward compute the linear
+# warp never needed).  See PERF.md "ADA warp adjoint".
+_ADJOINT_DEFAULT = {"reflect": "matmul", "zeros": "matmul"}
+
+
+def set_ada_adjoint(impl: str, padding: str = None) -> None:
+    """Select the warp adjoint implementation ('scatter', 'fold_gather',
+    'matmul') for one padding mode or both."""
+    if impl not in ("scatter", "fold_gather", "matmul"):
+        raise ValueError(f"unknown adjoint impl {impl!r}")
+    for pad in (padding,) if padding else ("reflect", "zeros"):
+        if pad not in _ADJOINT_DEFAULT:
+            raise ValueError(f"padding must be 'reflect' or 'zeros', got {pad!r}")
+        _ADJOINT_DEFAULT[pad] = impl
 
 
 def set_ada_fast_grad(enabled: bool) -> None:
-    global _FAST_GRAD_REFLECT
-    _FAST_GRAD_REFLECT = bool(enabled)
+    """Back-compat alias: True switches reflect warps to the fold-gather
+    adjoint, False back to the autodiff scatter."""
+    _ADJOINT_DEFAULT["reflect"] = "fold_gather" if enabled else "scatter"
 
 
 def apply_affine_matrix(
@@ -335,15 +419,25 @@ def apply_affine_matrix(
 ) -> jax.Array:
     """Warp by a per-image 2x2 *inverse* map about the image center
     (0.5 * extent, matching ada.py:137-138): src = c + inv_mat @ (dst - c),
-    bilinear sampling.  Differentiable w.r.t. ``images``; ``fast_grad`` uses
-    the gather-based adjoint (see :func:`_warp_adjoint_gather`)."""
+    bilinear sampling.  Differentiable w.r.t. ``images``.
+
+    ``fast_grad`` selects the adjoint: None = per-padding default
+    (_ADJOINT_DEFAULT / set_ada_adjoint), an impl name ('scatter',
+    'fold_gather', 'matmul'), or a bool (back-compat: True = fold_gather,
+    False = scatter)."""
     if padding not in ("reflect", "zeros"):
         raise ValueError(f"padding must be 'reflect' or 'zeros', got {padding!r}")
     if fast_grad is None:
-        fast_grad = padding == "zeros" or _FAST_GRAD_REFLECT
-    if fast_grad:
-        return _warp_fast_grad(images, inv_mat, padding)
-    return _warp(images, inv_mat, padding)
+        impl = _ADJOINT_DEFAULT[padding]
+    elif isinstance(fast_grad, str):
+        if fast_grad not in ("scatter", "fold_gather", "matmul"):
+            raise ValueError(f"unknown adjoint impl {fast_grad!r}")
+        impl = fast_grad
+    else:
+        impl = "fold_gather" if fast_grad else "scatter"
+    if impl == "scatter":
+        return _warp(images, inv_mat, padding)
+    return _warp_custom(images, inv_mat, padding, impl)
 
 
 def apply_affine(

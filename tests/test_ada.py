@@ -133,6 +133,81 @@ def test_fast_grad_adjoint_matches_autodiff():
                                    err_msg=f"padding={padding}")
 
 
+def test_matmul_adjoint_matches_autodiff():
+    """The dense-matmul warp adjoint (folded-hat interpolation weights, no
+    gather/scatter) equals the autodiff transpose everywhere, for both
+    paddings, square and non-square / odd extents, and a chunk size that
+    does not divide H*W."""
+    from multi_stylegan_tpu.train.ada import (
+        _rot_mat,
+        _scale_mat,
+        apply_affine_matrix,
+    )
+
+    rng = jax.random.key(11)
+    angles = jnp.array([37.0, -140.0])
+    inv = _scale_mat(jnp.array([[1.05, 0.7], [0.92, 1.4]])) @ _rot_mat(angles)
+
+    for shape in ((2, 16, 16, 3), (2, 17, 13, 2)):
+        x = jax.random.normal(rng, shape)
+        for padding in ("zeros", "reflect"):
+            def loss_mm(x):
+                return jnp.sum(apply_affine_matrix(
+                    x, inv, padding, fast_grad="matmul") ** 2)
+
+            def loss_exact(x):
+                return jnp.sum(apply_affine_matrix(
+                    x, inv, padding, fast_grad="scatter") ** 2)
+
+            np.testing.assert_allclose(float(loss_mm(x)), float(loss_exact(x)),
+                                       rtol=1e-5)
+            gm = np.asarray(jax.grad(loss_mm)(x))
+            ge = np.asarray(jax.grad(loss_exact)(x))
+            np.testing.assert_allclose(
+                gm, ge, rtol=1e-4, atol=1e-4,
+                err_msg=f"padding={padding} shape={shape}")
+
+
+def test_matmul_adjoint_second_order_and_selector():
+    """grad-of-grad through the matmul adjoint matches autodiff (it is
+    linear in the cotangent); set_ada_adjoint flips the default impl and
+    rejects unknown names."""
+    from multi_stylegan_tpu.train import ada as ada_mod
+
+    x = jax.random.normal(jax.random.key(3), (1, 12, 12, 2))
+    inv = ada_mod._rot_mat(jnp.array([63.0]))
+
+    def r1(x, impl):
+        def inner(x):
+            return jnp.sum(ada_mod.apply_affine_matrix(
+                x, inv, "reflect", fast_grad=impl) ** 2)
+        return jnp.sum(jax.grad(inner)(x) ** 2)
+
+    gm = np.asarray(jax.grad(lambda x: r1(x, "matmul"))(x))
+    ge = np.asarray(jax.grad(lambda x: r1(x, "scatter"))(x))
+    np.testing.assert_allclose(gm, ge, rtol=1e-4, atol=1e-4)
+
+    saved = dict(ada_mod._ADJOINT_DEFAULT)
+    ada_mod.set_ada_adjoint("fold_gather")
+    try:
+        assert ada_mod._ADJOINT_DEFAULT == {"reflect": "fold_gather",
+                                            "zeros": "fold_gather"}
+        g_def = np.asarray(jax.grad(
+            lambda x: jnp.sum(ada_mod.apply_affine_matrix(x, inv, "reflect") ** 2)
+        )(x))
+        g_fg = np.asarray(jax.grad(
+            lambda x: jnp.sum(ada_mod.apply_affine_matrix(
+                x, inv, "reflect", fast_grad="fold_gather") ** 2)
+        )(x))
+        np.testing.assert_array_equal(g_def, g_fg)
+    finally:
+        ada_mod._ADJOINT_DEFAULT.update(saved)
+    with pytest.raises(ValueError):
+        ada_mod.set_ada_adjoint("nope")
+    with pytest.raises(ValueError):
+        ada_mod.apply_affine_matrix(x, inv, "reflect", fast_grad="nope")
+
+
 def test_fast_grad_reflect_adjoint_second_order():
     """R1-style grad-of-grad through the reflect fast adjoint stays finite
     and matches autodiff (the fold + padded gather are linear, so the
