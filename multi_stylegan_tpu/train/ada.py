@@ -285,6 +285,72 @@ def _fold_reflect(acc: jax.Array, k: int) -> jax.Array:
     return fold_axis(fold_axis(acc, 1), 2)
 
 
+def _hat(d):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _chunk_div(n: int, chunk: int) -> int:
+    ck = max(1, min(chunk, n))
+    while n % ck:
+        ck -= 1  # n is 2^k * 2^k in practice; first divisor otherwise
+    return ck
+
+
+def _wfold(s: jax.Array, m: int, padding: str) -> jax.Array:
+    """Folded bilinear hat weights [..., m] for continuous source coords
+    ``s`` [...]: hat(s - i) plus, for reflect padding, the single-reflection
+    preimages -i (i >= 1) and 2(m-1)-i (i <= m-2) of the align_corners
+    mirror.  For zeros padding the bare hat over i in [0, m-1] also
+    reproduces the forward's joint in-bounds mask, since it factors per
+    axis.  Exact while |s| <= m-1 and s <= 2(m-1) (one reflection) - the
+    _reflect_pad_k reach bound, satisfied by every composed ADA warp out to
+    ~6 sigma of the scale jitter."""
+    idx = jnp.arange(m, dtype=jnp.float32)
+    d = s[..., None]
+    wgt = _hat(d - idx)
+    if padding == "reflect":
+        wgt = wgt + jnp.where(idx >= 1.0, _hat(d + idx), 0.0)
+        wgt = wgt + jnp.where(
+            idx <= m - 2.0, _hat(d - (2.0 * (m - 1.0) - idx)), 0.0)
+    return wgt
+
+
+def _warp_matmul(images: jax.Array, inv_mat: jax.Array, padding: str,
+                 chunk: int = 4096) -> jax.Array:
+    """The bilinear warp FORWARD as dense interpolation matmuls (no gather):
+
+        out[b,N,c] = sum_j Wx[b,N,j] * (sum_i Wy[b,N,i] * img[b,i,j,c])
+
+    over flattened output pixels N with the folded hat weights of
+    :func:`_wfold`; the inner sum is one batched MXU matmul per lax.scan
+    chunk, the outer a broadcast multiply-reduce.  Autodiff's transpose of
+    this program IS the matmul adjoint, so gradients stay scatter-free with
+    no custom_vjp.  Numerically equal to the gather forward (same weights,
+    reassociated); exact within one reflection (_wfold)."""
+    b, h, w, c = images.shape
+    sxc, syc = _warp_coords((b, h, w), inv_mat)
+    n = h * w
+    ck = _chunk_div(n, chunk)
+    steps = n // ck
+    sy = jnp.moveaxis(syc.reshape(b, steps, ck), 1, 0)
+    sx = jnp.moveaxis(sxc.reshape(b, steps, ck), 1, 0)
+    out_dtype = jnp.result_type(images.dtype, jnp.float32)
+    img_flat = images.reshape(b, h, w * c).astype(jnp.float32)
+
+    def body(_, xs_):
+        sy_c, sx_c = xs_
+        wy = _wfold(sy_c, h, padding)  # [B, ck, H]
+        wx = _wfold(sx_c, w, padding)  # [B, ck, W]
+        t = jnp.einsum("bni,bik->bnk", wy, img_flat,
+                       preferred_element_type=jnp.float32)
+        t = t.reshape(b, -1, w, c)
+        return None, jnp.sum(wx[..., None] * t, axis=2)
+
+    _, outs = jax.lax.scan(body, None, (sy, sx))  # [steps, B, ck, C]
+    out = jnp.moveaxis(outs, 0, 1).reshape(b, h, w, c)
+    return out.astype(out_dtype)
+
+
 def _warp_adjoint_matmul(g: jax.Array, inv_mat: jax.Array, padding: str,
                          chunk: int = 4096) -> jax.Array:
     """Adjoint of the bilinear warp as dense interpolation MATMULS - no
@@ -313,33 +379,17 @@ def _warp_adjoint_matmul(g: jax.Array, inv_mat: jax.Array, padding: str,
     b, h, w, c = g.shape
     sxc, syc = _warp_coords((b, h, w), inv_mat)
     n = h * w
-    ck = max(1, min(chunk, n))
-    while n % ck:
-        ck -= 1  # n is 2^k * 2^k in practice; first divisor otherwise
+    ck = _chunk_div(n, chunk)
     steps = n // ck
     sy = jnp.moveaxis(syc.reshape(b, steps, ck), 1, 0)
     sx = jnp.moveaxis(sxc.reshape(b, steps, ck), 1, 0)
     gf = jnp.moveaxis(
         g.reshape(b, steps, ck, c).astype(jnp.float32), 1, 0)
-    iy = jnp.arange(h, dtype=jnp.float32)
-    ix = jnp.arange(w, dtype=jnp.float32)
-
-    def hat(d):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
-
-    def wfold(s, idx, m):
-        d = s[..., None]  # [B, ck, 1] vs idx [m]
-        wgt = hat(d - idx)
-        if padding == "reflect":
-            wgt = wgt + jnp.where(idx >= 1.0, hat(d + idx), 0.0)
-            wgt = wgt + jnp.where(
-                idx <= m - 2.0, hat(d - (2.0 * (m - 1.0) - idx)), 0.0)
-        return wgt
 
     def body(acc, xs_):
         sy_c, sx_c, g_c = xs_
-        wy = wfold(sy_c, iy, h)  # [B, ck, H]
-        wx = wfold(sx_c, ix, w)  # [B, ck, W]
+        wy = _wfold(sy_c, h, padding)  # [B, ck, H]
+        wx = _wfold(sx_c, w, padding)  # [B, ck, W]
         t = (wx[..., :, None] * g_c[..., None, :]).reshape(b, -1, w * c)
         out = jnp.einsum("bni,bnk->bik", wy, t,
                          preferred_element_type=jnp.float32)
@@ -393,6 +443,20 @@ _warp_custom.defvjp(_warp_custom_fwd, _warp_custom_bwd)
 # warp never needed).  See PERF.md "ADA warp adjoint".
 _ADJOINT_DEFAULT = {"reflect": "matmul", "zeros": "matmul"}
 
+# Forward implementation: "gather" (one 4-tap flattened gather) or "matmul"
+# (_warp_matmul; only honored when the adjoint impl is "matmul", since the
+# matmul forward's autodiff transpose is already the matmul adjoint).
+# Default set by measurement - see PERF.md "ADA warp adjoint".
+_WARP_FWD_DEFAULT = "gather"
+
+
+def set_ada_warp_fwd(impl: str) -> None:
+    """Select the warp forward implementation ('gather' or 'matmul')."""
+    global _WARP_FWD_DEFAULT
+    if impl not in ("gather", "matmul"):
+        raise ValueError(f"unknown warp fwd impl {impl!r}")
+    _WARP_FWD_DEFAULT = impl
+
 
 def set_ada_adjoint(impl: str, padding: str = None) -> None:
     """Select the warp adjoint implementation ('scatter', 'fold_gather',
@@ -435,6 +499,9 @@ def apply_affine_matrix(
         impl = fast_grad
     else:
         impl = "fold_gather" if fast_grad else "scatter"
+    if impl == "matmul" and _WARP_FWD_DEFAULT == "matmul":
+        # the matmul forward's autodiff transpose IS the matmul adjoint
+        return _warp_matmul(images, inv_mat, padding)
     if impl == "scatter":
         return _warp(images, inv_mat, padding)
     return _warp_custom(images, inv_mat, padding, impl)

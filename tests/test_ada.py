@@ -208,6 +208,75 @@ def test_matmul_adjoint_second_order_and_selector():
         ada_mod.apply_affine_matrix(x, inv, "reflect", fast_grad="nope")
 
 
+def test_matmul_forward_matches_gather():
+    """The dense-matmul warp FORWARD (_warp_matmul: folded-hat weights as
+    interpolation matmuls, no gather at all) equals the gather forward for
+    both paddings and non-square/odd extents; its autodiff gradient equals
+    the scatter adjoint; grad-of-grad matches (the warp is linear); and
+    set_ada_warp_fwd flips the default / rejects unknown names."""
+    from multi_stylegan_tpu.train import ada as ada_mod
+
+    rng = jax.random.key(19)
+    angles = jnp.array([37.0, -140.0])
+    inv = ada_mod._scale_mat(jnp.array([[1.05, 0.7], [0.92, 1.4]])
+                             ) @ ada_mod._rot_mat(angles)
+
+    saved = ada_mod._WARP_FWD_DEFAULT
+    try:
+        for shape in ((2, 16, 16, 3), (2, 17, 13, 2)):
+            x = jax.random.normal(rng, shape)
+            for padding in ("zeros", "reflect"):
+                ada_mod.set_ada_warp_fwd("matmul")
+
+                def loss_mm(x):
+                    return jnp.sum(ada_mod.apply_affine_matrix(
+                        x, inv, padding, fast_grad="matmul") ** 2)
+
+                ada_mod.set_ada_warp_fwd("gather")
+
+                def loss_ref(x):
+                    return jnp.sum(ada_mod.apply_affine_matrix(
+                        x, inv, padding, fast_grad="scatter") ** 2)
+
+                np.testing.assert_allclose(
+                    float(loss_mm(x)), float(loss_ref(x)), rtol=1e-5,
+                    err_msg=f"fwd padding={padding} shape={shape}")
+                gm = np.asarray(jax.grad(loss_mm)(x))
+                ge = np.asarray(jax.grad(loss_ref)(x))
+                np.testing.assert_allclose(
+                    gm, ge, rtol=1e-4, atol=1e-4,
+                    err_msg=f"grad padding={padding} shape={shape}")
+
+        # grad-of-grad (R1-style) through the matmul forward
+        x = jax.random.normal(jax.random.key(5), (1, 12, 12, 2))
+        inv1 = ada_mod._rot_mat(jnp.array([63.0]))
+
+        def r1(x, impl):
+            ada_mod.set_ada_warp_fwd("matmul" if impl == "matmul" else "gather")
+
+            def inner(x):
+                return jnp.sum(ada_mod.apply_affine_matrix(
+                    x, inv1, "reflect", fast_grad=impl) ** 2)
+            return jnp.sum(jax.grad(inner)(x) ** 2)
+
+        gg_mm = np.asarray(jax.grad(lambda x: r1(x, "matmul"))(x))
+        gg_ref = np.asarray(jax.grad(lambda x: r1(x, "scatter"))(x))
+        np.testing.assert_allclose(gg_mm, gg_ref, rtol=1e-4, atol=1e-4)
+
+        # matmul forward only engages when the adjoint impl is matmul
+        ada_mod.set_ada_warp_fwd("matmul")
+        y_scatter = ada_mod.apply_affine_matrix(x, inv1, "reflect",
+                                                fast_grad="scatter")
+        y_mm = ada_mod.apply_affine_matrix(x, inv1, "reflect",
+                                           fast_grad="matmul")
+        np.testing.assert_allclose(np.asarray(y_scatter), np.asarray(y_mm),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        ada_mod._WARP_FWD_DEFAULT = saved
+    with pytest.raises(ValueError):
+        ada_mod.set_ada_warp_fwd("nope")
+
+
 def test_fast_grad_reflect_adjoint_second_order():
     """R1-style grad-of-grad through the reflect fast adjoint stays finite
     and matches autodiff (the fold + padded gather are linear, so the
