@@ -22,21 +22,28 @@ from multi_stylegan_tpu.nn.equalized import EqualizedConv2d
 
 
 def _max_pool_2x(x: jax.Array) -> jax.Array:
-    """2x max pooling via argmax-gather, NOT ``nn.max_pool``.
+    """2x max pooling via argmax + one-hot masked sum, NOT ``nn.max_pool``.
 
     Identical forward values (asserted in tests), torch-style first-max
-    tie-break, and a LINEAR backward (gather), so grad-of-grad is clean.
+    tie-break, and a LINEAR backward (broadcast multiply by the stopped-
+    gradient mask - no gather, no scatter), so grad-of-grad is clean.
     ``nn.max_pool`` (reduce_window_max) produced NaN parameter gradients in
     the R1 second-order program on TPU at the flagship 256x256 config - the
     select-and-scatter derivative path under grad-of-grad was isolated as
     the trigger (round-2 stability run; all other attention pieces clean).
     R1 and path-length both differentiate through this block, so the
-    second-order behavior is load-bearing (reference loss.py:310-317)."""
+    second-order behavior is load-bearing (reference loss.py:310-317).
+
+    Formulation set by measurement (tools/probe_nonlocal.py, real v5e,
+    [16,64,64,384] bf16): the earlier ``take_along_axis`` gather ran at
+    110 ms fwd / 110 ms bwd (XLA serializes the gather), the one-hot
+    masked sum at 1.8 / 2.7 ms with bit-identical outputs."""
     b, h, w, c = x.shape
     pw = x.reshape(b, h // 2, 2, w // 2, 2, c)
     pw = pw.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c, 4)
     idx = jnp.argmax(pw, axis=-1)
-    return jnp.take_along_axis(pw, idx[..., None], axis=-1)[..., 0]
+    mask = jax.nn.one_hot(idx, 4, dtype=pw.dtype)
+    return jnp.sum(pw * mask, axis=-1)
 
 
 class NonLocalBlock(nn.Module):
