@@ -326,7 +326,13 @@ def _warp_matmul(images: jax.Array, inv_mat: jax.Array, padding: str,
     chunk, the outer a broadcast multiply-reduce.  Autodiff's transpose of
     this program IS the matmul adjoint, so gradients stay scatter-free with
     no custom_vjp.  Numerically equal to the gather forward (same weights,
-    reassociated); exact within one reflection (_wfold)."""
+    reassociated); exact within one reflection (_wfold).
+
+    For bf16 images the H-contraction runs with bf16 operands (f32
+    accumulation): the hat weights lose ~3 decimal digits, an error of the
+    same order as the bf16 image quantization itself, and the MXU runs at
+    full bf16 rate instead of 1/4 f32 rate.  f32 images keep full-f32
+    math (the torch grid_sample parity contract)."""
     b, h, w, c = images.shape
     sxc, syc = _warp_coords((b, h, w), inv_mat)
     n = h * w
@@ -335,16 +341,21 @@ def _warp_matmul(images: jax.Array, inv_mat: jax.Array, padding: str,
     sy = jnp.moveaxis(syc.reshape(b, steps, ck), 1, 0)
     sx = jnp.moveaxis(sxc.reshape(b, steps, ck), 1, 0)
     out_dtype = jnp.result_type(images.dtype, jnp.float32)
-    img_flat = images.reshape(b, h, w * c).astype(jnp.float32)
+    mm_dtype = (jnp.bfloat16 if images.dtype == jnp.bfloat16
+                else jnp.float32)
+    img_flat = images.reshape(b, h, w * c).astype(mm_dtype)
 
     def body(_, xs_):
         sy_c, sx_c = xs_
-        wy = _wfold(sy_c, h, padding)  # [B, ck, H]
-        wx = _wfold(sx_c, w, padding)  # [B, ck, W]
+        wy = _wfold(sy_c, h, padding).astype(mm_dtype)  # [B, ck, H]
+        wx = _wfold(sx_c, w, padding).astype(mm_dtype)  # [B, ck, W]
+        # The [B, ck, W*C] intermediate dominates HBM traffic - keep it in
+        # mm_dtype (the MXU accumulates in f32 internally either way) and
+        # accumulate the W-reduction in f32.
         t = jnp.einsum("bni,bik->bnk", wy, img_flat,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=mm_dtype)
         t = t.reshape(b, -1, w, c)
-        return None, jnp.sum(wx[..., None] * t, axis=2)
+        return None, jnp.sum(wx[..., None] * t, axis=2, dtype=jnp.float32)
 
     _, outs = jax.lax.scan(body, None, (sy, sx))  # [steps, B, ck, C]
     out = jnp.moveaxis(outs, 0, 1).reshape(b, h, w, c)
@@ -446,7 +457,14 @@ _ADJOINT_DEFAULT = {"reflect": "matmul", "zeros": "matmul"}
 # Forward implementation: "gather" (one 4-tap flattened gather) or "matmul"
 # (_warp_matmul; only honored when the adjoint impl is "matmul", since the
 # matmul forward's autodiff transpose is already the matmul adjoint).
-# Default set by measurement - see PERF.md "ADA warp adjoint".
+# Default set by END-TO-END measurement (real v5e, flagship b16 bf16,
+# 2026-08-17).  Isolated, the matmul forward wins ([16,256,256,6]: fwd
+# 22.5 ms vs 31 ms gather; fwd+bwd 38.6 ms vs 206 ms autodiff scatter) -
+# but inside the full training step its lax.scan serializes against the
+# surrounding program and LOSES: main step 894.1 ms with the gather
+# forward + matmul-adjoint custom_vjp vs 1067.1 ms with the matmul
+# forward (d_step +64 ms, g_step +72 ms).  Defaults follow the step
+# measurement; see PERF.md "ADA warp adjoint".
 _WARP_FWD_DEFAULT = "gather"
 
 
