@@ -316,7 +316,7 @@ def _wfold(s: jax.Array, m: int, padding: str) -> jax.Array:
 
 
 def _warp_matmul(images: jax.Array, inv_mat: jax.Array, padding: str,
-                 chunk: int = 4096) -> jax.Array:
+                 chunk: int = 4096, unroll: bool = False) -> jax.Array:
     """The bilinear warp FORWARD as dense interpolation matmuls (no gather):
 
         out[b,N,c] = sum_j Wx[b,N,j] * (sum_i Wy[b,N,i] * img[b,i,j,c])
@@ -357,7 +357,12 @@ def _warp_matmul(images: jax.Array, inv_mat: jax.Array, padding: str,
         t = t.reshape(b, -1, w, c)
         return None, jnp.sum(wx[..., None] * t, axis=2, dtype=jnp.float32)
 
-    _, outs = jax.lax.scan(body, None, (sy, sx))  # [steps, B, ck, C]
+    # unroll=True removes the sequential scan carrier so XLA may overlap
+    # chunks with surrounding program work (the scan serializing against
+    # the rest of the training step is why the matmul forward loses
+    # in-context despite winning isolated - see _WARP_FWD_DEFAULT).
+    _, outs = jax.lax.scan(body, None, (sy, sx),
+                           unroll=steps if unroll else 1)  # [steps, B, ck, C]
     out = jnp.moveaxis(outs, 0, 1).reshape(b, h, w, c)
     return out.astype(out_dtype)
 
