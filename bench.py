@@ -113,7 +113,7 @@ def _build(dtype: str, batch: int, remat: bool):
     data = jax.random.uniform(
         jax.random.key(1), (batch, 2, 3, *gcfg.resolution)
     )
-    return state, main, r1, pl, StepFlags.off(), data
+    return state, step_fn, main, r1, pl, StepFlags.off(), data
 
 
 def _cost_flops(compiled) -> float:
@@ -129,7 +129,7 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
 
     from multi_stylegan_tpu.models.config import TrainingConfig
 
-    state, main, r1, pl, flags, data = _build(dtype, batch, remat)
+    state, step_fn, main, r1, pl, flags, data = _build(dtype, batch, remat)
     lazy = TrainingConfig().lazy_discriminator_regularization  # 16
     # Explicit timed compiles: with the persistent cache prewarmed, each of
     # these is a cache hit (seconds); minutes here mean the driver's run is
@@ -138,7 +138,27 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     # executables are used directly so nothing recompiles at call time.
     compile_s = {}
     t_c = time.perf_counter()
-    main_c = main.lower(state, data, flags).compile()
+    main_mode = "fused"
+    try:
+        main_c = main.lower(state, data, flags).compile()
+        main_progs = [main_c]
+    except Exception:
+        # Split-main tier: the fused program is the first casualty of the
+        # degrading remote compile helper as batch grows; the same math
+        # split at the D/G boundary compiles as two half-size programs
+        # (bit-identical composition, tests/test_train_step.py).
+        d_c = jax.jit(step_fn.main_step_d, donate_argnums=(0,)).lower(
+            state, data, flags).compile()
+        g_c = jax.jit(step_fn.main_step_g, static_argnums=(1,),
+                      donate_argnums=(0,)).lower(state, batch, flags).compile()
+
+        def main_c(state, data, flags):
+            state, m_d = d_c(state, data, flags)
+            state, m_g = g_c(state, flags)
+            return state, {**m_d, **m_g}
+
+        main_progs = [d_c, g_c]
+        main_mode = "split"
     compile_s["main"] = round(time.perf_counter() - t_c, 1)
     t_c = time.perf_counter()
     r1_c = r1.lower(state, data).compile()
@@ -149,7 +169,8 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     flops = None
     if with_flops:
         try:
-            flops = _cost_flops(main_c) + _cost_flops(r1_c) / lazy
+            flops = sum(_cost_flops(p) for p in main_progs)
+            flops += _cost_flops(r1_c) / lazy
             flops += (pl.flops() or 0.0) / lazy
         except Exception:
             flops = None
@@ -185,6 +206,7 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         "backend": jax.default_backend(),
         "compile_s": compile_s,
         "pl_mode": pl.mode["m"],
+        "main_mode": main_mode,
     }
     if pl.mode["m"] == "excluded":
         # The degraded compile helper could not build any second-order G
@@ -271,6 +293,7 @@ def run_bench(steps: int = 16, warmup: int = 2,
                 "config": tag, "ok": True,
                 "seqs_per_sec_per_chip": round(r["seqs_per_sec_per_chip"], 3),
                 "compile_s": r["compile_s"], "pl_mode": r["pl_mode"],
+                "main_mode": r["main_mode"],
                 "wall_s": round(time.perf_counter() - t_a, 1),
             })
             if best is None or (r["seqs_per_sec_per_chip"]
@@ -318,8 +341,21 @@ def prewarm() -> None:
         dtype, batch, remat = cand
         t0 = time.perf_counter()
         try:
-            state, main, r1, pl, flags, data = _build(dtype, batch, remat)
-            main.lower(state, data, flags).compile()
+            state, step_fn, main, r1, pl, flags, data = _build(
+                dtype, batch, remat)
+            try:
+                main.lower(state, data, flags).compile()
+            except Exception as exc:
+                print(f"prewarm FAILED {cand} main(fused): "
+                      f"{type(exc).__name__}", flush=True)
+                # warm the split-main tier instead so the measuring run's
+                # fallback cache-hits
+                jax.jit(step_fn.main_step_d, donate_argnums=(0,)).lower(
+                    state, data, flags).compile()
+                jax.jit(step_fn.main_step_g, static_argnums=(1,),
+                        donate_argnums=(0,)).lower(
+                    state, batch, flags).compile()
+                print(f"prewarm ok {cand} main(split)", flush=True)
             r1.lower(state, data).compile()
             fused_jit, grads_jit, apply_jit = pl.jits
             for name, compile_one in (
@@ -402,7 +438,7 @@ def main() -> None:
         "backend": result["backend"],
     }
     for key in ("model_tflops_per_sec_per_chip", "mfu", "path_length_note",
-                "compile_s", "pl_mode", "attempts"):
+                "compile_s", "pl_mode", "main_mode", "attempts"):
         if key in result:
             out[key] = result[key]
     try:

@@ -474,9 +474,11 @@ _WARP_FWD_DEFAULT = "gather"
 
 
 def set_ada_warp_fwd(impl: str) -> None:
-    """Select the warp forward implementation ('gather' or 'matmul')."""
+    """Select the warp forward implementation: 'gather', 'matmul', or
+    'matmul_unroll' (the matmul forward with the chunk scan unrolled so XLA
+    may overlap chunks with surrounding work)."""
     global _WARP_FWD_DEFAULT
-    if impl not in ("gather", "matmul"):
+    if impl not in ("gather", "matmul", "matmul_unroll"):
         raise ValueError(f"unknown warp fwd impl {impl!r}")
     _WARP_FWD_DEFAULT = impl
 
@@ -522,9 +524,10 @@ def apply_affine_matrix(
         impl = fast_grad
     else:
         impl = "fold_gather" if fast_grad else "scatter"
-    if impl == "matmul" and _WARP_FWD_DEFAULT == "matmul":
+    if impl == "matmul" and _WARP_FWD_DEFAULT in ("matmul", "matmul_unroll"):
         # the matmul forward's autodiff transpose IS the matmul adjoint
-        return _warp_matmul(images, inv_mat, padding)
+        return _warp_matmul(images, inv_mat, padding,
+                            unroll=_WARP_FWD_DEFAULT == "matmul_unroll")
     if impl == "scatter":
         return _warp(images, inv_mat, padding)
     return _warp_custom(images, inv_mat, padding, impl)

@@ -458,6 +458,49 @@ def make_train_step(
         )
         return state, metrics
 
+    # Split-main tier (compile robustness at large batch): the fused
+    # main_step is the biggest always-on program, and the remote compile
+    # helper rejects it first as batch grows (b>16 observed 2026-08-17).
+    # The same math split at the D/G boundary compiles as two roughly
+    # half-size programs; composition main_step_g(main_step_d(...)) is
+    # BIT-IDENTICAL to main_step (same key derivation re-derived from the
+    # already-bumped state.step; tested in tests/test_train_step.py).
+
+    def main_step_d(state: TrainState, real: jax.Array, flags: StepFlags):
+        step = state.step + 1
+        state = state.replace(step=step)
+        base = jax.random.fold_in(state.rng, step)
+        k_d, k_cm, _, _ = jax.random.split(base, 4)
+        state, fakes, real_pp, fake_pp, m_d = d_step(state, real, flags, k_d)
+        state, l_cm_aug, l_cm_reg = lax.cond(
+            flags.do_cut_mix,
+            lambda s: cut_mix_step(s, real, fakes, real_pp, fake_pp, k_cm),
+            lambda s: (s, jnp.asarray(0.0), jnp.asarray(0.0)),
+            state,
+        )
+        metrics = dict(m_d)
+        metrics.update(
+            loss_cut_mix_augmentation=l_cm_aug,
+            loss_cut_mix_regularization=l_cm_reg,
+        )
+        return state, metrics
+
+    def main_step_g(state: TrainState, batch_size: int, flags: StepFlags):
+        # state.step was bumped by main_step_d - re-derive the same keys
+        base = jax.random.fold_in(state.rng, state.step)
+        _, _, k_g, _ = jax.random.split(base, 4)
+        state, m_g = g_step(state, batch_size, flags, k_g)
+        ema = ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
+        state = state.replace(
+            g_ema_params=jax.tree.map(
+                lambda e_new, e_old: jnp.where(flags.do_ema, e_new, e_old),
+                ema, state.g_ema_params,
+            )
+        )
+        metrics = dict(m_g)
+        metrics.update(ada_p=state.ada.p, ada_r=state.ada.last_r)
+        return state, metrics
+
     def r1_update(state: TrainState, real: jax.Array):
         state, pen, _ = r1_step(state, real)
         return state, pen
@@ -599,6 +642,8 @@ def make_train_step(
     train_step.sample_fakes = sample_fakes
     train_step.build_wplus = build_wplus
     train_step.main_step = main_step
+    train_step.main_step_d = main_step_d
+    train_step.main_step_g = main_step_g
     train_step.r1_update = r1_update
     train_step.path_length_update = path_length_update
     train_step.path_length_grads = path_length_grads

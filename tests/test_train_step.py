@@ -172,6 +172,38 @@ def test_path_length_split_matches_fused():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_split_main_matches_fused():
+    """main_step_g(main_step_d(...)) must be BIT-identical to the fused
+    main_step (same RNG keys re-derived from the bumped step counter), for
+    flags off AND all-on, including metrics."""
+    gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=4, ada_p_init=0.5, ada_r_update=1)
+    state0 = create_train_state(jax.random.key(0), g, d, cfg)
+    state0 = state0.replace(step=state0.step + 3)  # non-trivial RNG fold
+    step_fn = make_train_step(g, d, cfg)
+    real = _batch(7)
+
+    on = jnp.asarray(True)
+    for flags in (StepFlags.off(),
+                  StepFlags(wrong_order=on, trap_weight=on,
+                            do_cut_mix=on, do_ema=on)):
+        s_fused, m_fused = jax.jit(step_fn.main_step)(state0, real, flags)
+        s_d, m_d = jax.jit(step_fn.main_step_d)(state0, real, flags)
+        s_split, m_g = jax.jit(
+            step_fn.main_step_g, static_argnums=1)(s_d, 4, flags)
+        merged = {**m_d, **m_g}
+
+        assert set(merged) == set(m_fused)
+        for k in m_fused:
+            np.testing.assert_array_equal(
+                np.asarray(m_fused[k]), np.asarray(merged[k]), err_msg=k)
+        for a, b in zip(jax.tree.leaves(s_fused), jax.tree.leaves(s_split)):
+            if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_path_length_chunked_matches_full():
     """The scan-over-chunks grads program (tier-3 compile fallback for the
     degraded remote helper) must match path_length_grads: identical sample

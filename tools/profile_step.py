@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--ada_warp_fwd", default=None,
+                    help="override the ADA warp forward impl "
+                    "(gather | matmul | matmul_unroll) for A/B profiling")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +49,10 @@ def main() -> None:
         TrainingConfig,
     )
     from multi_stylegan_tpu.train import StepFlags, create_train_state, make_train_step
+
+    if args.ada_warp_fwd:
+        from multi_stylegan_tpu.train.ada import set_ada_warp_fwd
+        set_ada_warp_fwd(args.ada_warp_fwd)
 
     gcfg = GeneratorConfig(compute_dtype=args.dtype, remat=args.remat)
     dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=args.dtype,
