@@ -26,6 +26,54 @@ from multi_stylegan_tpu.train.state import TrainState, create_train_state
 from multi_stylegan_tpu.train.steps import StepFlags, make_train_step
 
 
+def _robust_main_step(step_fn, batch_size, fused_kw=None, d_kw=None,
+                      g_kw=None):
+    """Lazy-compiling fused main step with a BIT-IDENTICAL split fallback.
+
+    The fused main program is the largest always-on XLA program and the
+    first casualty of the degrading remote compile helper as batch grows
+    (every b>16 fused compile failed on 2026-08-17 while half-size programs
+    kept compiling).  On a fused compile failure this falls back to the
+    D/G-boundary split pair (steps.py main_step_d/main_step_g), whose
+    composition is bit-identical (tests/test_train_step.py
+    test_split_main_matches_fused).  Compile failures ONLY trigger the
+    fallback - compilation is explicit via lower().compile() so a
+    post-donation execution failure is never mistaken for one (same policy
+    as train/robust.py, advisor round-2)."""
+    fused_jit = jax.jit(step_fn.main_step,
+                        **(fused_kw or dict(donate_argnums=(0,))))
+    d_jit = jax.jit(step_fn.main_step_d,
+                    **(d_kw or dict(donate_argnums=(0,))))
+    g_jit = jax.jit(step_fn.main_step_g, static_argnums=(1,),
+                    **(g_kw or dict(donate_argnums=(0,))))
+    exe = {}
+
+    def call(state, batch, flags):
+        if not exe:
+            try:
+                exe["fused"] = fused_jit.lower(state, batch, flags).compile()
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    "fused main step failed to compile (remote "
+                    "compile-helper degradation); falling back to the "
+                    "bit-identical split D/G programs.",
+                    RuntimeWarning,
+                )
+                exe["d"] = d_jit.lower(state, batch, flags).compile()
+                exe["g"] = g_jit.lower(state, batch_size, flags).compile()
+        if "fused" in exe:
+            return exe["fused"](state, batch, flags)
+        state, m_d = exe["d"](state, batch, flags)
+        state, m_g = exe["g"](state, flags)
+        return state, {**m_d, **m_g}
+
+    call.mode = lambda: ("fused" if "fused" in exe
+                         else "split" if exe else "uncompiled")
+    return call
+
+
 def _robust_pl_step(step_fn, fused_kw=None, grads_kw=None, apply_kw=None):
     """Trainer policy wrapper over :func:`make_robust_path_length`: when
     even the split second-order programs fail to compile (degraded remote
@@ -127,9 +175,14 @@ class Trainer:
 
             rep = replicated(mesh)
             bsh = batch_sharding(mesh)
-            self.main_step = jax.jit(
-                step_fn.main_step, in_shardings=(rep, bsh, rep),
-                out_shardings=(rep, rep), donate_argnums=(0,),
+            self.main_step = _robust_main_step(
+                step_fn, config.batch_size,
+                fused_kw=dict(in_shardings=(rep, bsh, rep),
+                              out_shardings=(rep, rep), donate_argnums=(0,)),
+                d_kw=dict(in_shardings=(rep, bsh, rep),
+                          out_shardings=(rep, rep), donate_argnums=(0,)),
+                g_kw=dict(in_shardings=(rep, rep),
+                          out_shardings=(rep, rep), donate_argnums=(0,)),
             )
             self.r1_step = jax.jit(
                 step_fn.r1_update, in_shardings=(rep, bsh),
@@ -145,7 +198,7 @@ class Trainer:
                               out_shardings=rep, donate_argnums=(0,)),
             )
         else:
-            self.main_step = jax.jit(step_fn.main_step, donate_argnums=(0,))
+            self.main_step = _robust_main_step(step_fn, config.batch_size)
             self.r1_step = jax.jit(step_fn.r1_update, donate_argnums=(0,))
             self.pl_step = _robust_pl_step(step_fn)
 
