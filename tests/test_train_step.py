@@ -324,6 +324,48 @@ def test_ada_state_nonfinite_r_dropped():
     assert float(s.p) > 0.05  # r above target: p stepped up
 
 
+def test_robust_main_step_split_fallback():
+    """The Trainer's robust main wrapper falls back to the bit-identical
+    split D/G programs when the fused compile fails, latches the tier, and
+    reports it via .mode()."""
+    from multi_stylegan_tpu.train.loop import _robust_main_step
+
+    gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=4)
+    state = create_train_state(jax.random.key(0), g, d, cfg)
+    step_fn = make_train_step(g, d, cfg)
+    real = _batch(3)
+    flags = StepFlags.off()
+
+    # healthy path: fused compiles and is used (the wrapper donates its
+    # state input, so each call below gets its own copy)
+    healthy = _robust_main_step(step_fn, 4)
+    s1, m1 = healthy(jax.tree.map(jnp.copy, state), real, flags)
+    assert healthy.mode() == "fused"
+
+    # a fused program that fails at lower/compile time -> split fallback,
+    # bit-identical results to the fused program
+    def exploding_main(state, real, flags):
+        raise RuntimeError("tpu_compile_helper subprocess exit code 1")
+
+    broken_fn = type("F", (), {})()
+    broken_fn.main_step = exploding_main
+    broken_fn.main_step_d = step_fn.main_step_d
+    broken_fn.main_step_g = step_fn.main_step_g
+
+    with pytest.warns(RuntimeWarning, match="split"):
+        wrapper = _robust_main_step(broken_fn, 4)
+        s2, m2 = wrapper(jax.tree.map(jnp.copy, state), real, flags)
+    assert wrapper.mode() == "split"
+    # latched: second call does not warn and still works
+    s3, m3 = wrapper(s2, real, flags)
+    assert set(m2) == set(m1)
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]),
+                                      err_msg=k)
+
+
 def test_robust_path_length_tiers():
     """The shared compile-robustness wrapper walks fused -> split ->
     excluded on COMPILE failures, latches the working tier, and fires
