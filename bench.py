@@ -414,10 +414,51 @@ def _worker_health() -> dict:
     return {"worker_matmul_tflops": round(2 * n**3 / dt / 1e12, 1)}
 
 
+def _wait_for_runtime(max_wait_s: float = 1200.0) -> None:
+    """Block until the axon TPU runtime answers a tiny jitted program.
+
+    The tunneled runtime can be transiently LOST mid-session (observed
+    2026-08-17: the local relay process died after a wedged remote worker;
+    it returns when the infrastructure re-dials).  Each probe runs in a
+    bounded subprocess because a wedged worker HANGS requests rather than
+    refusing them - a hang must not take this process down with it.  If the
+    budget expires the bench proceeds anyway and the per-candidate error
+    record documents the failure."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "assert jax.default_backend() == 'tpu', jax.default_backend();"
+        "print(float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"runtime recovered after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("runtime wait budget expired; attempting bench anyway",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"TPU runtime unreachable (probe {attempt}); retrying...",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+
+
 def main() -> None:
     if "--prewarm" in sys.argv:
         prewarm()
         return
+    _wait_for_runtime()
     result = run_bench()
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
