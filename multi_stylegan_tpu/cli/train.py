@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Reproduce the reference's four separate ADA "
                              "warps instead of the composed single warp "
                              "(exact reference behavior, 4x the resampling).")
+    parser.add_argument("--ada_warp_fwd", default=None, type=str,
+                        choices=("gather", "matmul", "matmul_unroll"),
+                        help="Override the ADA warp forward implementation "
+                             "(default: measured best; see PERF.md 'ADA "
+                             "warp adjoint').")
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a jax platform (e.g. 'cpu'); the axon TPU "
                              "plugin ignores JAX_PLATFORMS, this flag works.")
@@ -102,6 +107,11 @@ def main(argv=None) -> None:
     )
     from multi_stylegan_tpu.parallel import make_mesh, batch_sharding
     from multi_stylegan_tpu.train.loop import Trainer
+
+    if args.ada_warp_fwd:
+        from multi_stylegan_tpu.train.ada import set_ada_warp_fwd
+
+        set_ada_warp_fwd(args.ada_warp_fwd)
 
     remat_kw = dict(remat=not args.no_remat, remat_min_px=args.remat_min_px)
     if args.tiny:

@@ -106,6 +106,43 @@ def test_sharded_step_matches_single_device_all_branches_on():
                                rtol=2e-3, atol=2e-5)
 
 
+def test_split_main_under_mesh_matches_fused():
+    """The Trainer's split-main fallback programs compile and run under the
+    8-device mesh with the same sharding signature the Trainer passes
+    (state replicated, batch sharded), and compose to the fused result."""
+    from multi_stylegan_tpu.parallel import batch_sharding, replicated
+
+    gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=8, ada_r_update=1, ada_p_init=0.5)
+    state0 = create_train_state(jax.random.key(4), g, d, cfg)
+    step_fn = make_train_step(g, d, cfg)
+    batch = jax.random.uniform(jax.random.key(5), (8, 2, 3, 32, 32))
+    flags = StepFlags.off()
+
+    mesh = make_mesh()
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    s_rep = replicate_state(mesh, state0)
+    b_sh = shard_batch(mesh, batch)
+
+    sf, mf = jax.jit(step_fn.main_step, in_shardings=(rep, bsh, rep),
+                     out_shardings=(rep, rep))(s_rep, b_sh, flags)
+    sd, md = jax.jit(step_fn.main_step_d, in_shardings=(rep, bsh, rep),
+                     out_shardings=(rep, rep))(s_rep, b_sh, flags)
+    ss, mg = jax.jit(step_fn.main_step_g, static_argnums=(1,),
+                     in_shardings=(rep, rep),
+                     out_shardings=(rep, rep))(sd, 8, flags)
+
+    merged = {**md, **mg}
+    assert set(merged) == set(mf)
+    for k in mf:
+        np.testing.assert_allclose(float(mf[k]), float(merged[k]),
+                                   rtol=2e-3, atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(sf.g_params), jax.tree.leaves(ss.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_generator_forward_sharded_matches():
     gcfg = tiny_generator_config()
     g = Generator(gcfg)
