@@ -32,6 +32,16 @@ def main() -> None:
                     help="teacher: 'real' data from a frozen random "
                          "Generator - realizable target, balanced dynamics "
                          "(VERDICT round-2 item 6)")
+    ap.add_argument("--d_lr_scale", type=float, default=1.0,
+                    help="Scale the discriminator lr.  <1 weakens D so G "
+                         "wins, driving the reference's fake-batch ADA "
+                         "heuristic r above target (ada.py:43-52: r>0.6 "
+                         "when sign(D(fake))>0) - demonstrates the "
+                         "controller RAISING p on hardware, the regime the "
+                         "balanced teacher run never enters.")
+    ap.add_argument("--ada_r_update", type=int, default=None,
+                    help="Override cfg.ada_r_update (p adjusts every N "
+                         "fake batches; smaller = faster response).")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +79,11 @@ def main() -> None:
         dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=args.dtype,
                                    remat=False)
     generator, discriminator = Generator(gcfg), Discriminator(dcfg)
-    cfg = TrainingConfig(batch_size=args.batch, compute_dtype=args.dtype)
+    cfg_kw = {}
+    if args.ada_r_update is not None:
+        cfg_kw["ada_r_update"] = args.ada_r_update
+    cfg = TrainingConfig(batch_size=args.batch, compute_dtype=args.dtype,
+                         lr_discriminator=6e-4 * args.d_lr_scale, **cfg_kw)
     state = create_train_state(jax.random.key(0), generator, discriminator, cfg)
     step_fn = make_train_step(generator, discriminator, cfg,
                               top_k_start_iteration=50,
@@ -102,7 +116,8 @@ def main() -> None:
     report = {
         "config": {"steps": args.steps, "batch": args.batch,
                    "dtype": args.dtype, "resolution": list(gcfg.resolution),
-                   "fixture": args.fixture},
+                   "fixture": args.fixture, "d_lr_scale": args.d_lr_scale,
+                   "ada_r_update": cfg.ada_r_update},
         "device": jax.devices()[0].device_kind,
         "events": [],
         "nan_steps": [],
