@@ -48,7 +48,7 @@ def _walk(jxp, visit):
                         _walk(x.jaxpr, visit)
 
 
-def _trace_main_step(batch_size=8, res=32):
+def _traced_programs(batch_size=8, res=32):
     gcfg, dcfg = tiny_generator_config(), tiny_discriminator_config()
     g, d = Generator(gcfg), Discriminator(dcfg)
     cfg = TrainingConfig(batch_size=batch_size)
@@ -56,12 +56,23 @@ def _trace_main_step(batch_size=8, res=32):
         lambda: create_train_state(jax.random.key(0), g, d, cfg))
     step = make_train_step(g, d, cfg)
     batch = jax.ShapeDtypeStruct((batch_size, 2, 3, res, res), jnp.float32)
-    return jax.make_jaxpr(step.main_step)(state, batch, StepFlags.off())
+    return {
+        "main_step": jax.make_jaxpr(step.main_step)(
+            state, batch, StepFlags.off()),
+        # second-order programs: a custom-VJP hole would surface here as
+        # the transposed warp gather, i.e. an image-scale scatter
+        "r1_update": jax.make_jaxpr(step.r1_update)(state, batch),
+        "path_length": jax.make_jaxpr(step.path_length_update)(state),
+    }
 
 
-def test_no_scatter_and_only_benign_gathers_in_main_step():
+def _trace_main_step(batch_size=8, res=32):
+    return _traced_programs(batch_size, res)["main_step"]
+
+
+def test_no_scatter_and_only_benign_gathers_in_all_programs():
     res = 32
-    jaxpr = _trace_main_step(res=res)
+    programs = _traced_programs(res=res)
     hw = res * res
     big = hw * 8 // 4  # anything >= quarter image-scale is "hot"
     offenders = []
@@ -70,17 +81,20 @@ def test_no_scatter_and_only_benign_gathers_in_main_step():
         name = eqn.primitive.name
         sz = max((math.prod(v.aval.shape or (1,))
                   for v in list(eqn.invars) + list(eqn.outvars)), default=1)
-        if name.startswith("scatter"):
-            offenders.append((name, eqn.invars[0].aval.shape))
+        if name.startswith("scatter") and sz >= big:
+            offenders.append((prog[0], name, eqn.invars[0].aval.shape))
             return
         if name == "gather" and sz >= big:
             shape = eqn.invars[0].aval.shape
             warp_tap = len(shape) == 3 and shape[1] == hw and shape[2] == 6
             time_perm = len(shape) == 5 and shape[2] == 3
             if not (warp_tap or time_perm):
-                offenders.append((name, shape))
+                offenders.append((prog[0], name, shape))
 
-    _walk(jaxpr.jaxpr, visit)
+    prog = [None]
+    for prog_name, jaxpr in programs.items():
+        prog[0] = prog_name
+        _walk(jaxpr.jaxpr, visit)
     assert not offenders, (
         "hot-path gather/scatter reintroduced (PERF.md round-3 rule: "
         f"re-express as masked reduction or MXU matmul): {offenders}")
