@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a jax platform (e.g. 'cpu'); the axon TPU "
                              "plugin ignores JAX_PLATFORMS, this flag works.")
+    parser.add_argument("--profile_dir", default=None, type=str,
+                        help="Capture a jax.profiler trace of steady-state "
+                             "steps 2-5 into this directory (view with "
+                             "TensorBoard/xprof).")
     return parser
 
 
@@ -182,7 +186,7 @@ def main(argv=None) -> None:
         generator, discriminator, cfg,
         training_dataset=loader, data_logger=logger,
         validation_metrics=metrics, trap_weights_map=trap_map,
-        mesh=mesh, epochs=args.epochs,
+        mesh=mesh, epochs=args.epochs, profile_dir=args.profile_dir,
     )
 
     if args.load_checkpoint:

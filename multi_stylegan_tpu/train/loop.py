@@ -134,6 +134,8 @@ class Trainer:
         state: Optional[TrainState] = None,
         checkpoint_dir: Optional[str] = None,
         epochs: int = 100,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 4,
     ) -> None:
         self.generator = generator
         self.discriminator = discriminator
@@ -144,6 +146,12 @@ class Trainer:
         self.mesh = mesh
         self.epochs = epochs
         self.best_fvd = float("inf")
+        # jax.profiler trace of steps [2, 2+profile_steps): step 1 is the
+        # compile, so the captured window is steady-state (SURVEY §5
+        # tracing; replaces the reference's RTPT/tqdm-only observability)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         steps_per_epoch = len(training_dataset)
         total = epochs * steps_per_epoch
@@ -281,6 +289,9 @@ class Trainer:
             for batch in self.dataset:
                 batch = jnp.asarray(batch) if not isinstance(batch, jax.Array) else batch
                 host_step += 1
+                if self.profile_dir and host_step == 2:
+                    jax.profiler.start_trace(self.profile_dir)
+                    self._profiling = True
                 lazy_d = host_step % cfg.lazy_discriminator_regularization == 0
                 lazy_g = host_step % cfg.lazy_generator_regularization == 0
                 flags = StepFlags(
@@ -309,7 +320,10 @@ class Trainer:
                     metrics["loss_path_length_regularization"] = 0.0
                     metrics["path_length"] = 0.0
                 n_seqs += batch.shape[0]
-                host_metrics = jax.device_get(metrics)
+                host_metrics = jax.device_get(metrics)  # host fetch: barrier
+                if self._profiling and host_step >= 1 + self.profile_steps:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
                 for name, value in host_metrics.items():
                     self.logger.log_metric(name, value)
                 if progress is not None:
@@ -337,6 +351,9 @@ class Trainer:
             self.logger.save()
             if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0:
                 self.ckpt.save(int(jax.device_get(self.state.step)), self.state)
+        if self._profiling:  # run shorter than the profile window
+            jax.profiler.stop_trace()
+            self._profiling = False
         if progress is not None:
             progress.close()
         return self.state
