@@ -38,6 +38,11 @@ run 5400 ada_flagship  python tools/stability_run.py --steps 300 --batch 16 \
                          --fixture teacher --d_lr_scale 0.05 \
                          --ada_r_update 1 --out ADA_RESPONSE.json \
                          --ckpt_dir /tmp/ada_flag_ckpt
+# untested lever: the matmul warp forward lost in-context because its
+# lax.scan serializes (PERF.md retired table); the unrolled variant may
+# overlap - one step-level number decides it
+run 2400 warp_unroll   python tools/profile_step.py --ada_warp_fwd matmul_unroll \
+                         --iters 8
 run 600  health1       python tools/runtime_health.py
 run 5400 prewarm       python bench.py --prewarm
 run 3600 bench_sanity  python bench.py
