@@ -33,7 +33,23 @@ def main() -> None:
     ap.add_argument("--ada_warp_fwd", default=None,
                     help="override the ADA warp forward impl "
                     "(gather | matmul | matmul_unroll) for A/B profiling")
+    ap.add_argument("--only", default=None,
+                    help="measure only programs whose name contains this "
+                    "substring (e.g. 'MAIN') - one compile instead of 7")
     args = ap.parse_args()
+
+    prog_names = (
+        "g_fwd (sample_fakes)",
+        "d_step (G fwd + 2xD fwd/bwd + ADA)",
+        "g_step (G fwd/bwd + D fwd/bwd)",
+        "cut_mix (2 extra D fwd/bwd)",
+        "r1 (f32 D 2nd order)",
+        "path_length (f32 G 2nd order)",
+        "MAIN STEP (d+g+ema, cutmix off)",
+    )
+    if args.only and not any(args.only in n for n in prog_names):
+        raise SystemExit(f"--only {args.only!r} matches no program of "
+                         f"{prog_names}")
 
     import jax
     import jax.numpy as jnp
@@ -123,6 +139,9 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"# {dev.device_kind} dtype={args.dtype} batch={args.batch} "
           f"remat={args.remat}")
+    assert set(progs) == set(prog_names), "prog_names out of sync"
+    if args.only:
+        progs = {n: f for n, f in progs.items() if args.only in n}
     results = {}
     for name, fn in progs.items():
         a = (state, data) if fn.__wrapped__.__code__.co_argcount == 2 else (state,)

@@ -42,7 +42,7 @@ run 5400 ada_flagship  python tools/stability_run.py --steps 300 --batch 16 \
 # lax.scan serializes (PERF.md retired table); the unrolled variant may
 # overlap - one step-level number decides it
 run 2400 warp_unroll   python tools/profile_step.py --ada_warp_fwd matmul_unroll \
-                         --iters 8
+                         --only MAIN --iters 8
 run 600  health1       python tools/runtime_health.py
 run 5400 prewarm       python bench.py --prewarm
 run 3600 bench_sanity  python bench.py
