@@ -60,9 +60,34 @@ def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
 
 
 def replicate_state(mesh: Mesh, state):
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-process (TPU pod / multi-host CPU): ``jax.device_put`` rejects
+    committed single-process arrays targeted at a sharding that spans
+    non-addressable devices, so each process materialises its host copy
+    and fills only its addressable replicas via
+    ``make_array_from_callback`` — the leaves are deterministic replicas
+    of the same values on every process (create_train_state is seeded),
+    which is exactly the replicated-sharding contract.  Exercised for
+    real at process_count=2 by tests/test_multihost.py.
+    """
     sharding = replicated(mesh)
-    return jax.device_put(state, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(state, sharding)
+
+    def put(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
+                                                         jax.dtypes.prng_key):
+            # typed RNG keys (TrainState.rng): replicate the raw key data,
+            # then rebind the key impl on the global array (same op on
+            # every controller - valid multi-process eager semantics)
+            data = put(jax.random.key_data(x))
+            return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+        host = np.asarray(x)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx])
+
+    return jax.tree.map(put, state)
 
 
 def per_host_batch(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
