@@ -86,6 +86,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Capture a jax.profiler trace of steady-state "
                              "steps 2-5 into this directory (view with "
                              "TensorBoard/xprof).")
+    # multi-host launch (one process per host, e.g. a TPU pod slice): every
+    # process runs the same command with its own --process_id; data is read
+    # per host (BatchLoader loads each process's slice of the global batch),
+    # files are written by process 0 only, orbax checkpoints coordinate
+    # across hosts. Exercised at process_count=2 by tests/test_multihost.py.
+    parser.add_argument("--coordinator_address", default=None, type=str,
+                        help="host:port of process 0 for "
+                             "jax.distributed.initialize (multi-host).")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="Total number of controller processes.")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="This process's index in [0, num_processes).")
     return parser
 
 
@@ -96,6 +108,12 @@ def main(argv=None) -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("MSG_TPU_CACHE", "/root/.jax_cache"))
 
@@ -163,7 +181,8 @@ def main(argv=None) -> None:
     print(f"{len(dataset)} sequences, {len(loader)} steps/epoch")
 
     logger = Logger(experiment_path=args.experiment_path)
-    logger.log_hyperparameter(hyperparameter_dict=vars(args))
+    if jax.process_index() == 0:
+        logger.log_hyperparameter(hyperparameter_dict=vars(args))
 
     metrics = ()
     if not args.no_validation_metrics:

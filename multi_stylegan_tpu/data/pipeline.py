@@ -39,6 +39,24 @@ class BatchLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self._rng = np.random.default_rng(seed)
+        # Multi-host input pipeline (SURVEY.md §2.5): every process draws the
+        # SAME epoch permutation (same seed), loads only its process-major
+        # slice of each global batch, and assembles the global array from
+        # process-local data.  Requires the dataset (or an identical copy)
+        # to be visible on every host.  Exercised for real at
+        # process_count=2 by tests/test_multihost.py.
+        self._n_proc = jax.process_count() if sharding is not None else 1
+        self._pid = jax.process_index() if sharding is not None else 0
+        if self._n_proc > 1 and batch_size % self._n_proc:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self._n_proc} processes"
+            )
+        if self._n_proc > 1 and not drop_last:
+            raise ValueError(
+                "multi-process loading requires drop_last=True (a partial "
+                "final batch cannot be assembled across processes)"
+            )
         if len(dataset) < batch_size and drop_last:
             raise ValueError(
                 f"dataset of {len(dataset)} samples cannot fill a batch of {batch_size}"
@@ -75,8 +93,15 @@ class BatchLoader:
         def producer():
             for b in range(n_batches):
                 lo = b * self.batch_size
-                batch = self._load_batch(idx[lo : lo + self.batch_size])
-                if self.sharding is not None:
+                sel = idx[lo : lo + self.batch_size]
+                if self._n_proc > 1:
+                    per = self.batch_size // self._n_proc
+                    sel = sel[self._pid * per : (self._pid + 1) * per]
+                batch = self._load_batch(sel)
+                if self._n_proc > 1:
+                    batch = jax.make_array_from_process_local_data(
+                        self.sharding, batch)
+                elif self.sharding is not None:
                     batch = jax.device_put(batch, self.sharding)
                 q.put(batch)
             q.put(None)

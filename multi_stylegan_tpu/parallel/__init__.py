@@ -7,7 +7,9 @@ from multi_stylegan_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_sharded_train_step,
     per_host_batch,
+    process_barrier,
     replicate_state,
     replicated,
     shard_batch,
+    warmup_collectives,
 )

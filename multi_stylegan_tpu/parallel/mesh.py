@@ -100,6 +100,55 @@ def per_host_batch(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
 
 
+def process_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all controller processes via the coordination service.
+
+    Gloo (the CPU-backend collective transport) gives each new communicator
+    context only ~30 s of key-value rendezvous: if controllers reach their
+    FIRST collective more than 30 s apart (compile-time variance is enough),
+    context init fails with DEADLINE_EXCEEDED.  The coordination-service
+    barrier has a long explicit timeout and no Gloo dependency, so calling
+    it right before a collective-using phase (orbax directory sync, first
+    sharded step) collapses the skew to milliseconds.  No-op single-process
+    and on runtimes without a distributed client.
+    """
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:  # pragma: no cover - internal API moved
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the full-mesh Gloo communicator while controllers are
+    still aligned.
+
+    XLA caches one communicator per device clique; the rendezvous for a NEW
+    clique tolerates only ~30 s of cross-process skew (see
+    :func:`process_barrier`).  Without warm-up, the first full-mesh
+    collective fires after the train-step compile — whose multi-minute
+    duration varies enough between processes to blow that window.  A
+    barrier followed by one tiny all-reduce pins the clique early; later
+    programs reuse the cached communicator.  No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    process_barrier("warmup_collectives")
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    n = mesh.devices.size
+    x = jax.make_array_from_callback(
+        (n,), sharding, lambda idx: np.ones((len(range(*idx[0].indices(n))),),
+                                            np.float32))
+    total = jax.jit(lambda v: v.sum(),
+                    out_shardings=NamedSharding(mesh, P()))(x)
+    assert float(total) == float(n)
+
+
 def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True):
     """jit the fused train step with explicit shardings: state replicated,
     batch sharded over the data axis.  Gradient all-reduce compiles to XLA

@@ -146,6 +146,15 @@ class Trainer:
         self.mesh = mesh
         self.epochs = epochs
         self.best_fvd = float("inf")
+        # Multi-process: every controller runs the same compute (required -
+        # ops on global arrays are collective), but only process 0 writes
+        # files to the (shared) experiment dir.  Orbax checkpoint calls stay
+        # on ALL processes: orbax coordinates multi-host saves itself.
+        self._is_main = jax.process_index() == 0
+        if mesh is not None:
+            from multi_stylegan_tpu.parallel import warmup_collectives
+
+            warmup_collectives(mesh)  # pin the full-mesh Gloo clique early
         # jax.profiler trace of steps [2, 2+profile_steps): step 1 is the
         # compile, so the captured window is steady-state (SURVEY §5
         # tracing; replaces the reference's RTPT/tqdm-only observability)
@@ -220,6 +229,12 @@ class Trainer:
             state = replicate_state(mesh, state)
         self.state = state
 
+        # Align controllers before orbax's Gloo-backed directory sync: the
+        # per-process compile-time variance above can exceed Gloo's 30 s
+        # context-init window (see parallel.process_barrier).
+        from multi_stylegan_tpu.parallel import process_barrier
+
+        process_barrier("trainer_init")
         self.ckpt = (
             CheckpointManager(checkpoint_dir) if checkpoint_dir
             else CheckpointManager(self.logger.path_models)
@@ -244,8 +259,14 @@ class Trainer:
                rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.key(0)
         k_mix, k_noise = jax.random.split(rng)
+        g_vars = self._g_vars(ema)
+        if self.mesh is not None and jax.process_count() > 1:
+            # replicated global params can't mix with process-local z in one
+            # eager dispatch; pull the (fully-addressable) replicas to host
+            # and sample process-locally - identical on every controller
+            g_vars = jax.device_get(g_vars)
         return self.generator.apply(
-            self._g_vars(ema), z1, z2,
+            g_vars, z1, z2,
             randomize_noise=randomize_noise,
             rngs={"mixing": k_mix, "noise": k_noise},
         )
@@ -287,7 +308,16 @@ class Trainer:
             t0 = time.perf_counter()
             n_seqs = 0
             for batch in self.dataset:
-                batch = jnp.asarray(batch) if not isinstance(batch, jax.Array) else batch
+                if not isinstance(batch, jax.Array):
+                    if self.mesh is not None and jax.process_count() > 1:
+                        # raw (non-BatchLoader) iterables under multi-process
+                        # yield each host's LOCAL slice; assemble the global
+                        # batch (process-major, parallel/mesh.per_host_batch)
+                        from multi_stylegan_tpu.parallel import per_host_batch
+
+                        batch = per_host_batch(self.mesh, np.asarray(batch))
+                    else:
+                        batch = jnp.asarray(batch)
                 host_step += 1
                 if self.profile_dir and host_step == 2:
                     jax.profiler.start_trace(self.profile_dir)
@@ -348,8 +378,12 @@ class Trainer:
             self._save_sample_grids(epoch)
             if (epoch + 1) % cfg.validate_every_n_epochs == 0:
                 self.validation()
-            self.logger.save()
+            if self._is_main:
+                self.logger.save()
             if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0:
+                from multi_stylegan_tpu.parallel import process_barrier
+
+                process_barrier(f"ckpt_save_{epoch}")  # orbax multi-host sync
                 self.ckpt.save(int(jax.device_get(self.state.step)), self.state)
         if self._profiling:  # run shorter than the profile window
             jax.profiler.stop_trace()
@@ -366,6 +400,8 @@ class Trainer:
         for ema, tag in ((True, "prediction_ema"), (False, "prediction")):
             fixed = self.sample(z1, z2, ema=ema, randomize_noise=False, rng=rng)
             rand = self.sample(z1, z2, ema=ema, randomize_noise=True, rng=rng)
+            if not self._is_main:
+                continue  # sampling ran collectively; only process 0 writes
             self.logger.save_prediction(jax.device_get(fixed), f"{tag}_{epoch + 1}")
             self.logger.save_prediction(jax.device_get(rand), f"{tag}_rand_{epoch + 1}")
 

@@ -93,6 +93,48 @@ def test_two_process_input_path_light(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_two_processes(tmp_path):
+    """The public train CLI end-to-end across 2 controller processes:
+    jax.distributed bootstrap flags, per-host BatchLoader slices assembled
+    into global batches, process-0-only file writes into a SHARED
+    experiment dir, collective sampling at epoch end."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "HOME": str(tmp_path),
+    })
+    exp = tmp_path / "exp"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "multi_stylegan_tpu.cli.train",
+             "--synthetic", "--tiny", "--epochs", "1", "--batch_size", "8",
+             "--no_validation_metrics", "--platform", "cpu",
+             "--experiment_path", str(exp),
+             "--coordinator_address", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    plots = os.listdir(exp / "plots")
+    assert any(p.startswith("prediction_ema_1") for p in plots), plots
+    assert os.path.isdir(exp / "metrics")
+
+
+@pytest.mark.slow
 def test_two_process_step_matches_single_process(tmp_path):
     results = _run_workers(tmp_path)
 

@@ -104,8 +104,10 @@ def main() -> None:
         make_mesh,
         make_sharded_train_step,
         per_host_batch,
+        process_barrier,
         replicate_state,
         replicated,
+        warmup_collectives,
     )
 
     assert jax.process_count() == args.num_processes
@@ -116,6 +118,7 @@ def main() -> None:
                          (args.process_id + 1) * per_proc]
 
     mesh = make_mesh()
+    warmup_collectives(mesh)  # pin the full-mesh Gloo clique while aligned
     batch_g = per_host_batch(mesh, local)
     assert batch_g.shape == global_batch.shape, (batch_g.shape, global_batch.shape)
 
