@@ -22,6 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--devices", default=None, type=int,
                         help="Number of devices in the data-parallel mesh (default: all).")
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="Tensor-parallel size (mesh 'model' axis): conv "
+                             "kernels/optimizer moments shard their "
+                             "output-channel dim column-parallel; 1 = pure DP "
+                             "(the reference's regime).")
     parser.add_argument("--batch_size", default=24, type=int,
                         help="Batch size to be utilized while training.")
     parser.add_argument("--epochs", default=100, type=int,
@@ -164,7 +169,7 @@ def main(argv=None) -> None:
     generator = Generator(gcfg)
     discriminator = Discriminator(dcfg)
 
-    mesh = make_mesh(n_data=args.devices)
+    mesh = make_mesh(n_data=args.devices, n_model=args.model_parallel)
     print(f"Mesh: {mesh}")
 
     print("Init dataset")

@@ -11,5 +11,7 @@ from multi_stylegan_tpu.parallel.mesh import (  # noqa: F401
     replicate_state,
     replicated,
     shard_batch,
+    shard_state,
+    state_shardings,
     warmup_collectives,
 )

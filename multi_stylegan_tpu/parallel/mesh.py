@@ -59,35 +59,71 @@ def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
     return jax.device_put(batch, batch_sharding(mesh))
 
 
-def replicate_state(mesh: Mesh, state):
-    """Replicate a pytree (params / train state) across the mesh.
+def state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for a TrainState under DP(+TP).
 
-    Multi-process (TPU pod / multi-host CPU): ``jax.device_put`` rejects
-    committed single-process arrays targeted at a sharding that spans
-    non-addressable devices, so each process materialises its host copy
-    and fills only its addressable replicas via
-    ``make_array_from_callback`` — the leaves are deterministic replicas
-    of the same values on every process (create_train_state is seeded),
-    which is exactly the replicated-sharding contract.  Exercised for
-    real at process_count=2 by tests/test_multihost.py.
+    With a trivial ``model`` axis (size 1) everything replicates — pure
+    data parallelism, the reference's regime (nn.DataParallel,
+    train_multi_stylegan.py:67-70).  With ``n_model > 1`` the framework
+    goes beyond the reference: every 4-D conv kernel whose output-channel
+    dim divides the model axis shards over MODEL_AXIS (column-parallel;
+    NHWC/HWIO keeps channels on the minor dim, so the shard rides the
+    128-wide lanes).  Adam moments and EMA mirrors inherit the same rule
+    by shape, so the whole optimizer state is TP-sharded with zero extra
+    bookkeeping; XLA GSPMD inserts the activation collectives.  (Pipeline
+    /sequence/expert axes are N/A for this architecture: 3 frames fold
+    into channels and there is no MoE — SURVEY.md §5.)
     """
-    sharding = replicated(mesh)
-    if jax.process_count() == 1:
-        return jax.device_put(state, sharding)
+    rep = NamedSharding(mesh, P())
+    n_model = mesh.shape[MODEL_AXIS]
+    if n_model == 1:
+        return jax.tree.map(lambda _: rep, state)
+    tp = NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
 
-    def put(x):
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 4 and shape[3] % n_model == 0 and shape[3] >= n_model:
+            return tp
+        return rep
+
+    return jax.tree.map(rule, state)
+
+
+def shard_state(mesh: Mesh, state, shardings=None):
+    """Place a host-side state pytree according to ``shardings``
+    (default: :func:`state_shardings`).  Multi-process-safe: each process
+    fills only its addressable shards (see :func:`replicate_state`)."""
+    if shardings is None:
+        shardings = state_shardings(mesh, state)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    def put(x, sharding):
         if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
                                                          jax.dtypes.prng_key):
-            # typed RNG keys (TrainState.rng): replicate the raw key data,
-            # then rebind the key impl on the global array (same op on
-            # every controller - valid multi-process eager semantics)
-            data = put(jax.random.key_data(x))
+            data = put(jax.random.key_data(x), sharding)
             return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
         host = np.asarray(x)
         return jax.make_array_from_callback(
             host.shape, sharding, lambda idx: host[idx])
 
-    return jax.tree.map(put, state)
+    return jax.tree.map(put, state, shardings)
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-process (TPU pod / multi-host CPU): ``jax.device_put`` rejects
+    committed single-process arrays targeted at a sharding that spans
+    non-addressable devices, so :func:`shard_state` fills each process's
+    addressable replicas via ``make_array_from_callback`` (with typed
+    PRNG-key handling) — the leaves are deterministic replicas of the same
+    values on every process (create_train_state is seeded), which is
+    exactly the replicated-sharding contract.  Exercised for real at
+    process_count=2 by tests/test_multihost.py.
+    """
+    rep = replicated(mesh)
+    return shard_state(mesh, state, jax.tree.map(lambda _: rep, state))
 
 
 def per_host_batch(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
@@ -149,15 +185,19 @@ def warmup_collectives(mesh: Mesh) -> None:
     assert float(total) == float(n)
 
 
-def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True):
-    """jit the fused train step with explicit shardings: state replicated,
-    batch sharded over the data axis.  Gradient all-reduce compiles to XLA
+def make_sharded_train_step(train_step, mesh: Mesh, donate: bool = True,
+                            state_sharding=None):
+    """jit the fused train step with explicit shardings: batch sharded over
+    the data axis, state replicated (pure DP, default) or sharded per a
+    :func:`state_shardings` tree (DP x TP over the ``model`` axis).
+    Gradient all-reduce / TP activation collectives compile to XLA
     collectives over ICI (SURVEY.md §2.5)."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    ssh = rep if state_sharding is None else state_sharding
     return jax.jit(
         train_step,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(ssh, bsh, rep),
+        out_shardings=(ssh, rep),
         donate_argnums=(0,) if donate else (),
     )

@@ -184,49 +184,58 @@ class Trainer:
         if not config.top_k:
             # schedule degenerates to v=1 via start > total steps
             pass
-        # Split mode: three independent programs (main / R1 / path-length)
-        # with host-side lazy scheduling - the fused single program cannot
-        # hold the f32 second-order branches at the full 256^2 config.
-        if mesh is not None:
-            from multi_stylegan_tpu.parallel import batch_sharding, replicated
-
-            rep = replicated(mesh)
-            bsh = batch_sharding(mesh)
-            self.main_step = _robust_main_step(
-                step_fn, config.batch_size,
-                fused_kw=dict(in_shardings=(rep, bsh, rep),
-                              out_shardings=(rep, rep), donate_argnums=(0,)),
-                d_kw=dict(in_shardings=(rep, bsh, rep),
-                          out_shardings=(rep, rep), donate_argnums=(0,)),
-                g_kw=dict(in_shardings=(rep, rep),
-                          out_shardings=(rep, rep), donate_argnums=(0,)),
-            )
-            self.r1_step = jax.jit(
-                step_fn.r1_update, in_shardings=(rep, bsh),
-                out_shardings=(rep, rep), donate_argnums=(0,),
-            )
-            self.pl_step = _robust_pl_step(
-                step_fn,
-                fused_kw=dict(in_shardings=(rep,),
-                              out_shardings=(rep, rep, rep),
-                              donate_argnums=(0,)),
-                grads_kw=dict(in_shardings=(rep,), out_shardings=rep),
-                apply_kw=dict(in_shardings=(rep, rep, rep),
-                              out_shardings=rep, donate_argnums=(0,)),
-            )
-        else:
-            self.main_step = _robust_main_step(step_fn, config.batch_size)
-            self.r1_step = jax.jit(step_fn.r1_update, donate_argnums=(0,))
-            self.pl_step = _robust_pl_step(step_fn)
 
         if state is None:
             state = create_train_state(
                 jax.random.key(config.seed), generator, discriminator, config
             )
+        # Split mode: three independent programs (main / R1 / path-length)
+        # with host-side lazy scheduling - the fused single program cannot
+        # hold the f32 second-order branches at the full 256^2 config.
         if mesh is not None:
-            from multi_stylegan_tpu.parallel import replicate_state
+            from multi_stylegan_tpu.parallel import (
+                batch_sharding,
+                replicated,
+                shard_state,
+                state_shardings,
+            )
 
-            state = replicate_state(mesh, state)
+            rep = replicated(mesh)
+            bsh = batch_sharding(mesh)
+            # state sharding tree: pure replication under DP (model axis 1),
+            # column-parallel TP over the model axis otherwise; gradient
+            # trees (path-length split tier) inherit g_params' shardings
+            # shape-for-shape.
+            ssh = state_shardings(mesh, state)
+            gsh = state_shardings(mesh, state.g_params)
+            self.main_step = _robust_main_step(
+                step_fn, config.batch_size,
+                fused_kw=dict(in_shardings=(ssh, bsh, rep),
+                              out_shardings=(ssh, rep), donate_argnums=(0,)),
+                d_kw=dict(in_shardings=(ssh, bsh, rep),
+                          out_shardings=(ssh, rep), donate_argnums=(0,)),
+                g_kw=dict(in_shardings=(ssh, rep),
+                          out_shardings=(ssh, rep), donate_argnums=(0,)),
+            )
+            self.r1_step = jax.jit(
+                step_fn.r1_update, in_shardings=(ssh, bsh),
+                out_shardings=(ssh, rep), donate_argnums=(0,),
+            )
+            self.pl_step = _robust_pl_step(
+                step_fn,
+                fused_kw=dict(in_shardings=(ssh,),
+                              out_shardings=(ssh, rep, rep),
+                              donate_argnums=(0,)),
+                grads_kw=dict(in_shardings=(ssh,),
+                              out_shardings=(gsh, rep, rep, rep)),
+                apply_kw=dict(in_shardings=(ssh, gsh, rep),
+                              out_shardings=ssh, donate_argnums=(0,)),
+            )
+            state = shard_state(mesh, state, ssh)
+        else:
+            self.main_step = _robust_main_step(step_fn, config.batch_size)
+            self.r1_step = jax.jit(step_fn.r1_update, donate_argnums=(0,))
+            self.pl_step = _robust_pl_step(step_fn)
         self.state = state
 
         # Align controllers before orbax's Gloo-backed directory sync: the

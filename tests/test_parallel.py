@@ -162,3 +162,56 @@ def test_generator_forward_sharded_matches():
                  out_shardings=batch_sharding(mesh))(
         replicate_state(mesh, variables), shard_batch(mesh, zr))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y8), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_tp_sharded_step_matches_single_device():
+    """DP x TP: a (data=2, model=2) mesh with column-parallel conv-kernel
+    sharding (parallel.state_shardings) reproduces the single-device step.
+    Goes beyond the reference's pure nn.DataParallel regime (SURVEY.md
+    §2.5): conv kernels, their Adam moments, and the EMA mirror shard their
+    output-channel dim over the model axis; GSPMD inserts the activation
+    collectives."""
+    from jax.sharding import PartitionSpec
+    from multi_stylegan_tpu.parallel import shard_state, state_shardings
+
+    gcfg = tiny_generator_config(
+        channels=(16, 16, 16), latent_dimensions=16, depth_style_mapping=1
+    )
+    dcfg = tiny_discriminator_config(
+        encoder_channels=((3, 8), (8, 12), (12, 16)),
+        decoder_channels=((16, 12), (12, 8)),
+    )
+    g, d = Generator(gcfg), Discriminator(dcfg)
+    cfg = TrainingConfig(batch_size=8, ada_r_update=2)
+    state0 = create_train_state(jax.random.key(0), g, d, cfg)
+    step_fn = make_train_step(g, d, cfg)
+    batch = jax.random.uniform(jax.random.key(1), (8, 2, 3, *gcfg.resolution))
+    flags = StepFlags.off()
+
+    s1, m1 = jax.jit(step_fn)(state0, batch, flags)
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    ssh = state_shardings(mesh, state0)
+    n_tp = sum(1 for leaf in jax.tree.leaves(ssh)
+               if leaf.spec != PartitionSpec())
+    assert n_tp > 0, "no leaf was TP-sharded - the rule matched nothing"
+    step = make_sharded_train_step(step_fn, mesh, donate=False,
+                                   state_sharding=ssh)
+    s4, m4 = step(shard_state(mesh, state0, ssh), shard_batch(mesh, batch),
+                  flags)
+
+    # the TP-sharded state leaves really live on the model axis
+    tp_placed = sum(
+        1 for leaf in jax.tree.leaves(s4.g_params)
+        if getattr(leaf.sharding, "spec", PartitionSpec()) != PartitionSpec()
+    )
+    assert tp_placed > 0
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m4[k]),
+                                   rtol=2e-3, atol=2e-5, err_msg=k)
+    for group in ("g_params", "d_params", "g_ema_params"):
+        for a, b in zip(jax.tree.leaves(getattr(s1, group)),
+                        jax.tree.leaves(getattr(s4, group))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5)
