@@ -165,3 +165,33 @@ def test_two_process_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp["ada_p"], float(s1.ada.p), rtol=1e-5)
     np.testing.assert_allclose(mp["ada_last_r"], float(s1.ada.last_r),
                                rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_tp_step_matches_single_process(tmp_path):
+    """Multi-host DP x TP: 2 coordinated processes (2 local devices each)
+    over a (data=2, model=2) mesh, conv kernels TP-sharded column-parallel
+    across the mesh (parallel.state_shardings), all schedule branches on -
+    must reproduce the single-process step."""
+    results = _run_workers(tmp_path, extra_args=("--model_parallel", "2"))
+
+    assert results[0]["mesh_shape"] == {"data": 2, "model": 2}
+    assert results[0]["tp_leaves"] > 0
+
+    for k, v in results[0]["metrics"].items():
+        np.testing.assert_allclose(v, results[1]["metrics"][k], rtol=1e-6,
+                                   err_msg=k)
+
+    from tools.mp_train_worker import build_setup, checksums
+
+    import jax
+
+    state0, step_fn, batch, flags = build_setup()
+    s1, m1 = jax.jit(step_fn)(state0, batch, flags)
+    mp = results[0]
+    for k, v in m1.items():
+        np.testing.assert_allclose(mp["metrics"][k], float(v), rtol=2e-3,
+                                   atol=2e-5, err_msg=k)
+    for g, v in checksums(s1).items():
+        np.testing.assert_allclose(mp["checksums"][g], v, rtol=2e-3,
+                                   err_msg=g)

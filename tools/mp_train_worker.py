@@ -65,15 +65,21 @@ def build_setup():
 
 
 def checksums(state):
-    """Order-stable float64 per-group |param| sums (host-side)."""
+    """Order-stable per-group |param| sums.
+
+    Computed on device with a replicated output: host-side ``np.asarray``
+    would fail on TP-sharded leaves in a multi-process run (the model-axis
+    shards of a leaf need not all be addressable from one process)."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     out = {}
     for group in ("g_params", "d_params", "g_ema_params"):
         leaves = jax.tree.leaves(getattr(state, group))
-        out[group] = float(sum(np.sum(np.abs(np.asarray(l)), dtype=np.float64)
-                               for l in leaves))
+        total = jax.jit(
+            lambda ls: sum(jnp.sum(jnp.abs(l)) for l in ls)
+        )(leaves)
+        out[group] = float(total)
     return out
 
 
@@ -87,6 +93,10 @@ def main() -> None:
                     help="skip the train step: prove batch assembly + "
                          "state replication + a cross-process reduction "
                          "only (fast-suite variant)")
+    ap.add_argument("--model_parallel", type=int, default=1,
+                    help="mesh 'model' axis size: >1 TP-shards conv kernels "
+                         "column-parallel ACROSS the coordinated processes "
+                         "(parallel.state_shardings)")
     args = ap.parse_args()
 
     import jax
@@ -107,6 +117,8 @@ def main() -> None:
         process_barrier,
         replicate_state,
         replicated,
+        shard_state,
+        state_shardings,
         warmup_collectives,
     )
 
@@ -117,7 +129,7 @@ def main() -> None:
     local = global_batch[args.process_id * per_proc:
                          (args.process_id + 1) * per_proc]
 
-    mesh = make_mesh()
+    mesh = make_mesh(n_model=args.model_parallel)
     warmup_collectives(mesh)  # pin the full-mesh Gloo clique while aligned
     batch_g = per_host_batch(mesh, local)
     assert batch_g.shape == global_batch.shape, (batch_g.shape, global_batch.shape)
@@ -129,7 +141,17 @@ def main() -> None:
         jax.jit(lambda x: x, out_shardings=replicated(mesh))(batch_g))
     np.testing.assert_array_equal(gathered, global_batch)
 
-    state_r = replicate_state(mesh, state0)
+    if args.model_parallel > 1:
+        from jax.sharding import PartitionSpec
+
+        ssh = state_shardings(mesh, state0)
+        n_tp = sum(1 for leaf in jax.tree.leaves(ssh)
+                   if leaf.spec != PartitionSpec())
+        assert n_tp > 0, "TP requested but no leaf was TP-sharded"
+        state_r = shard_state(mesh, state0, ssh)
+    else:
+        ssh, n_tp = None, 0
+        state_r = replicate_state(mesh, state0)
     if args.light:
         # Cheap cross-process program: global batch mean + replicated-state
         # checksum through one jitted reduction (exercises Gloo collectives
@@ -151,13 +173,16 @@ def main() -> None:
         print(json.dumps(result), flush=True)
         return
 
-    sharded_step = make_sharded_train_step(step_fn, mesh, donate=False)
+    sharded_step = make_sharded_train_step(step_fn, mesh, donate=False,
+                                           state_sharding=ssh)
     state1, metrics = sharded_step(state_r, batch_g, flags)
     result = {
         "process_id": args.process_id,
         "process_count": jax.process_count(),
         "global_devices": jax.device_count(),
         "local_devices": jax.local_device_count(),
+        "mesh_shape": dict(mesh.shape),
+        "tp_leaves": n_tp,
         "metrics": {k: float(v) for k, v in metrics.items()},
         "checksums": checksums(state1),
         "ada_p": float(state1.ada.p),
