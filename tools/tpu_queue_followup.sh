@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-3 follow-up TPU queue: probes that need a healthy runtime but are
+# cheaper than the main queue (tools/tpu_queue_experiments.sh).  Run AFTER
+# the main queue; the bench prewarm + sanity still happen separately at the
+# very end of the session (VERDICT r2 item 1a).
+#
+#   1. attention-core formulation probe (PERF.md charges ~54 ms/D-pass to
+#      the NonLocal blocks; the probe decides if a chunked/layout variant
+#      beats the current einsum before touching the model)
+#   2. XLA compiler-options ablation (scoped-VMEM sweep on the
+#      backprop-filter wall)
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/tmp/tpu_followup.log
+echo "=== followup start $(date)" >> "$LOG"
+
+run() {  # run <timeout_s> <name> <cmd...>
+  local t=$1 name=$2; shift 2
+  echo "--- $name start $(date +%H:%M:%S)" >> "$LOG"
+  timeout "$t" "$@" >> "$LOG" 2>&1
+  echo "--- $name rc=$? end $(date +%H:%M:%S)" >> "$LOG"
+}
+
+run 1800 probe_attn    python tools/probe_attention.py
+run 3600 xla_options   python tools/xla_options_ablation.py
+run 600  health2       python tools/runtime_health.py
+echo "=== followup done $(date)" >> "$LOG"
