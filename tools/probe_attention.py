@@ -68,6 +68,21 @@ def attn_chunked(theta, phi, g, chunk=512):
     return jnp.moveaxis(outs, 0, 1).reshape(b, n, -1)
 
 
+def attn_flat2d(theta, phi, g):
+    """Same math, but the softmax runs on a flattened [B*N, M] 2-D array.
+    PERF.md charges the attention-backward time to an XLA-chosen layout
+    that strides the 3-D softmax reduction; a 2-D (sublane-major, lane=M)
+    reshape is the friendliest layout the VPU can get."""
+    b, n, _ = theta.shape
+    m = phi.shape[1]
+    logits = jnp.einsum("bnc,bmc->bnm", theta, phi,
+                        preferred_element_type=jnp.float32)
+    beta = jax.nn.softmax(logits.reshape(b * n, m), axis=-1)
+    beta = beta.reshape(b, n, m).astype(theta.dtype)
+    return jnp.einsum("bnm,bmc->bnc", beta, g,
+                      preferred_element_type=jnp.float32).astype(theta.dtype)
+
+
 def attn_f32_all(theta, phi, g):
     logits = jnp.einsum("bnc,bmc->bnm", theta.astype(jnp.float32),
                         phi.astype(jnp.float32))
@@ -81,6 +96,7 @@ VARIANTS = {
     "bf16_softmax": attn_bf16_softmax,
     "chunked512": lambda t, p, g: attn_chunked(t, p, g, 512),
     "chunked1024": lambda t, p, g: attn_chunked(t, p, g, 1024),
+    "flat2d": attn_flat2d,
     "f32_all": attn_f32_all,
 }
 
@@ -90,7 +106,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (the axon TPU plugin ignores "
+                         "JAX_PLATFORMS; use --platform cpu for local runs)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     dt = jnp.dtype(args.dtype)
     b, n, m, ct, cg = args.batch, 4096, 1024, 48, 192
