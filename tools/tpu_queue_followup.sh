@@ -22,6 +22,13 @@ run() {  # run <timeout_s> <name> <cmd...>
   echo "--- $name rc=$? end $(date +%H:%M:%S)" >> "$LOG"
 }
 
+# d_lr_scale 0.05 was not enough forcing (ADA_RESPONSE_TINY.json r peaked
+# 0.375 < target 0.6, p never left 0): freeze D entirely so G drives
+# sign(D(fake)) positive and the controller MUST walk p upward.
+run 1800 ada_frozen_d  python tools/stability_run.py --tiny --steps 300 \
+                         --batch 16 --fixture teacher --d_lr_scale 0.0 \
+                         --ada_r_update 1 --out ADA_RESPONSE_TINY.json \
+                         --ckpt_dir /tmp/ada_frozen_ckpt
 run 1800 probe_attn    python tools/probe_attention.py
 run 3600 xla_options   python tools/xla_options_ablation.py
 run 600  health2       python tools/runtime_health.py
