@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--ada_r_update", type=int, default=None,
                     help="Override cfg.ada_r_update (p adjusts every N "
                          "fake batches; smaller = faster response).")
+    ap.add_argument("--ada_r_target", type=float, default=None,
+                    help="Override cfg.ada_r_target (reference default 0.6, "
+                         "ada.py:28).  Experiment-only knob: a frozen "
+                         "random-init D plateaus at r~0.55 (round-3 "
+                         "ADA_RESPONSE_TINY), so forcing the upward-response "
+                         "demonstration needs a target BELOW that plateau; "
+                         "the shipped default is unchanged.")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +89,8 @@ def main() -> None:
     cfg_kw = {}
     if args.ada_r_update is not None:
         cfg_kw["ada_r_update"] = args.ada_r_update
+    if args.ada_r_target is not None:
+        cfg_kw["ada_r_target"] = args.ada_r_target
     cfg = TrainingConfig(batch_size=args.batch, compute_dtype=args.dtype,
                          lr_discriminator=6e-4 * args.d_lr_scale, **cfg_kw)
     state = create_train_state(jax.random.key(0), generator, discriminator, cfg)
@@ -117,7 +126,8 @@ def main() -> None:
         "config": {"steps": args.steps, "batch": args.batch,
                    "dtype": args.dtype, "resolution": list(gcfg.resolution),
                    "fixture": args.fixture, "d_lr_scale": args.d_lr_scale,
-                   "ada_r_update": cfg.ada_r_update},
+                   "ada_r_update": cfg.ada_r_update,
+                   "ada_r_target": cfg.ada_r_target},
         "device": jax.devices()[0].device_kind,
         "events": [],
         "nan_steps": [],

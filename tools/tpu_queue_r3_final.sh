@@ -13,16 +13,24 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/root/repo/.queue_logs/tpu_queue_r3_final.log
+mkdir -p /root/repo/.queue_logs
 echo "=== final queue start $(date)" >> "$LOG"
 
-# wait for the prewarm process (pid file) to exit, max 45 min
+# wait for the prewarm process (pid file) to exit, max 45 min.  Validate
+# that the PID actually belongs to a bench prewarm before waiting on (or
+# killing) it — a stale pid file could point at an unrelated process.
 if [ -f /tmp/prewarm.pid ]; then
   P=$(cat /tmp/prewarm.pid)
-  for _ in $(seq 1 270); do
-    kill -0 "$P" 2>/dev/null || break
-    sleep 10
-  done
-  kill -0 "$P" 2>/dev/null && { echo "prewarm still alive after 45m; killing" >> "$LOG"; kill "$P"; sleep 5; }
+  if grep -aq "prewarm" "/proc/$P/cmdline" 2>/dev/null; then
+    for _ in $(seq 1 270); do
+      kill -0 "$P" 2>/dev/null || break
+      sleep 10
+    done
+    kill -0 "$P" 2>/dev/null && { echo "prewarm still alive after 45m; killing" >> "$LOG"; kill "$P"; sleep 5; }
+  else
+    echo "stale /tmp/prewarm.pid (pid $P is not a prewarm); ignoring" >> "$LOG"
+  fi
+  rm -f /tmp/prewarm.pid
 fi
 echo "--- prewarm done $(date +%H:%M:%S)" >> "$LOG"
 
