@@ -17,6 +17,7 @@ features (useful for tests / plumbing, meaningless as a quality score).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Callable, Optional, Tuple
@@ -52,6 +53,43 @@ def resize_bilinear_antialias(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     linear resize with antialiasing (NHWC spatial dims 1, 2)."""
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, *size, c), method="linear", antialias=True)
+
+
+@functools.lru_cache(maxsize=4)
+def _replicator(mesh: jax.sharding.Mesh):
+    """Jitted identity that all-gathers a mesh-sharded array to replicated
+    (one compiled program per mesh, cached across validation batches)."""
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.jit(lambda a: a, out_shardings=rep)
+
+
+def _to_host(x: jax.Array) -> np.ndarray:
+    """Fetch an array to host, handling multi-process global arrays.
+
+    At ``process_count > 1`` the input pipeline produces batch-sharded
+    global arrays whose shards are not all addressable from one process —
+    ``device_get`` raises on those.  Replicating through a jitted identity
+    first (the same Gloo-backed gather proven by tools/mp_train_worker.py)
+    makes every shard locally addressable; all processes then hold identical
+    host copies, keeping the downstream (host-side numpy) Fréchet/IS math
+    process-consistent."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    return np.asarray(jax.device_get(_replicator(x.sharding.mesh)(x)))
+
+
+def _as_local(x) -> jax.Array:
+    """Coerce a validation batch to a process-local array.
+
+    Feature extractors hold process-local params; a globally-sharded batch
+    cannot mix with them in one dispatch (the same constraint worked around
+    for ``Trainer.sample``, train/loop.py).  Gathering the global batch to
+    identical host copies and recomputing features on every process keeps
+    the per-process Fréchet inputs identical — validation is rare, so the
+    replicated compute is irrelevant next to process consistency."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return jnp.asarray(_to_host(x))
+    return jnp.asarray(x)
 
 
 def _load_torch_state_dict(path: str):
@@ -138,7 +176,7 @@ class FID(_MetricBase):
         acts = {d: [] for d in self._domains}
         count = 0
         for images in batches:
-            images = jnp.asarray(images)
+            images = _as_local(images)
             rng, kt = jax.random.split(rng)
             for d in self._domains:
                 frames = _random_timestep_rgb(images, d, kt)
@@ -199,7 +237,7 @@ class IS(_MetricBase):
         for images in self._fake_batches(generator_apply, rng):
             rng, kt = jax.random.split(rng)
             for d in self._domains:
-                frames = _random_timestep_rgb(jnp.asarray(images), d, kt)
+                frames = _random_timestep_rgb(_as_local(images), d, kt)
                 probs[d].append(np.asarray(jax.device_get(self._probs(frames))))
         scores = []
         for d in self._domains:
@@ -250,7 +288,7 @@ class FVD(_MetricBase):
         acts = {d: [] for d in self._domains}
         count = 0
         for images in batches:
-            images = jnp.asarray(images)
+            images = _as_local(images)
             for d in self._domains:
                 acts[d].append(
                     np.asarray(jax.device_get(self._features(images[:, d])))

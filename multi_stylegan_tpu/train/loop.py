@@ -161,6 +161,7 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self._profiling = False
+        self._sample_jit = None
 
         steps_per_epoch = len(training_dataset)
         total = epochs * steps_per_epoch
@@ -264,6 +265,13 @@ class Trainer:
         params = self.state.g_ema_params if ema else self.state.g_params
         return {"params": params, "noises": self.state.g_noises}
 
+    def _sample_apply(self, g_vars, z1, z2, k_mix, k_noise, randomize_noise):
+        return self.generator.apply(
+            g_vars, z1, z2,
+            randomize_noise=randomize_noise,
+            rngs={"mixing": k_mix, "noise": k_noise},
+        )
+
     def sample(self, z1, z2=None, ema: bool = True, randomize_noise: bool = True,
                rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.key(0)
@@ -271,14 +279,18 @@ class Trainer:
         g_vars = self._g_vars(ema)
         if self.mesh is not None and jax.process_count() > 1:
             # replicated global params can't mix with process-local z in one
-            # eager dispatch; pull the (fully-addressable) replicas to host
-            # and sample process-locally - identical on every controller
+            # dispatch; pull the (fully-addressable) replicas to host and
+            # sample process-locally - identical on every controller
             g_vars = jax.device_get(g_vars)
-        return self.generator.apply(
-            g_vars, z1, z2,
-            randomize_noise=randomize_noise,
-            rngs={"mixing": k_mix, "noise": k_noise},
-        )
+        # One jitted program per (shape, z2-presence, randomize_noise):
+        # an eager flax apply dispatches the synthesis net op-by-op, which
+        # on the tunneled axon runtime costs a network round trip per op -
+        # validation samples 3x5000 sequences through this path.
+        if self._sample_jit is None:
+            self._sample_jit = jax.jit(
+                self._sample_apply, static_argnames=("randomize_noise",))
+        return self._sample_jit(g_vars, z1, z2, k_mix, k_noise,
+                                randomize_noise=randomize_noise)
 
     # -------------------------------------------------------------- training
 

@@ -168,6 +168,32 @@ def test_two_process_step_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_validation_matches_single_process(tmp_path):
+    """Metric collection over globally-sharded real batches — the
+    non-addressable-shards hazard in eval/metrics.py (_as_local/_to_host):
+    FID + FVD (random weights) must produce identical scores on both
+    controllers AND match a single-process run over the same data."""
+    results = _run_workers(tmp_path, extra_args=("--validation",),
+                           timeout=1500)
+    np.testing.assert_allclose(results[0]["fid"], results[1]["fid"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[0]["fvd"], results[1]["fvd"],
+                               rtol=1e-5)
+
+    from tools.mp_train_worker import build_validation_setup
+
+    from multi_stylegan_tpu.eval.metrics import FID, FVD
+
+    reals, fake_gen = build_validation_setup()
+    fid = FID(allow_random_weights=True, batch_size=4, data_samples=8)
+    ref_fid = fid(generator_apply=fake_gen, dataset=reals)
+    np.testing.assert_allclose(results[0]["fid"], ref_fid, rtol=2e-3)
+    fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=8)
+    ref_fvd = fvd(generator_apply=fake_gen, dataset=reals)
+    np.testing.assert_allclose(results[0]["fvd"], ref_fvd, rtol=2e-3)
+
+
+@pytest.mark.slow
 def test_two_process_tp_step_matches_single_process(tmp_path):
     """Multi-host DP x TP: 2 coordinated processes (2 local devices each)
     over a (data=2, model=2) mesh, conv kernels TP-sharded column-parallel

@@ -64,6 +64,32 @@ def build_setup():
     return state0, step_fn, batch, flags
 
 
+def build_validation_setup():
+    """Deterministic (real batches, generator_apply) for the 2-process
+    validation check — one copy shared by the workers and the
+    single-process reference in tests/test_multihost.py.
+
+    The generator stand-in is a pure function of z (fixed projection), so
+    every process regenerates identical fake batches from the metric's
+    seeded ``_fake_batches`` stream."""
+    import jax
+    import jax.numpy as jnp
+
+    res = 32
+    reals = [
+        jax.random.uniform(jax.random.key(10 + i), (4, 2, 3, res, res))
+        for i in range(2)
+    ]
+    proj = jax.random.normal(
+        jax.random.key(20), (512, 2 * 3 * res * res)) / 512**0.5
+
+    def fake_gen(z, z2, rng):
+        del z2, rng
+        return jnp.tanh(z @ proj).reshape(z.shape[0], 2, 3, res, res) * 0.5 + 0.5
+
+    return reals, fake_gen
+
+
 def checksums(state):
     """Order-stable per-group |param| sums.
 
@@ -93,6 +119,12 @@ def main() -> None:
                     help="skip the train step: prove batch assembly + "
                          "state replication + a cross-process reduction "
                          "only (fast-suite variant)")
+    ap.add_argument("--validation", action="store_true",
+                    help="run the Trainer.validation()-shaped metric "
+                         "collection (FID + FVD, random weights) over "
+                         "globally-sharded real batches — the "
+                         "non-addressable-shards path in eval/metrics.py "
+                         "(_as_local/_to_host)")
     ap.add_argument("--model_parallel", type=int, default=1,
                     help="mesh 'model' axis size: >1 TP-shards conv kernels "
                          "column-parallel ACROSS the coordinated processes "
@@ -123,6 +155,39 @@ def main() -> None:
     )
 
     assert jax.process_count() == args.num_processes
+
+    if args.validation:
+        from multi_stylegan_tpu.eval.metrics import FID, FVD
+
+        mesh = make_mesh()
+        warmup_collectives(mesh)
+        reals, fake_gen = build_validation_setup()
+        per = reals[0].shape[0] // args.num_processes
+        global_batches = [
+            per_host_batch(mesh, np.asarray(r)[args.process_id * per:
+                                               (args.process_id + 1) * per])
+            for r in reals
+        ]
+        assert not global_batches[0].is_fully_addressable, (
+            "test precondition: batches must have non-addressable shards"
+        )
+        fid = FID(allow_random_weights=True, batch_size=4, data_samples=8)
+        fid_scores = fid(generator_apply=fake_gen, dataset=global_batches)
+        fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=8)
+        fvd_scores = fvd(generator_apply=fake_gen, dataset=global_batches)
+        result = {
+            "process_id": args.process_id,
+            "process_count": jax.process_count(),
+            "global_devices": jax.device_count(),
+            "local_devices": jax.local_device_count(),
+            "fid": [float(s) for s in fid_scores],
+            "fvd": [float(s) for s in fvd_scores],
+        }
+        with open(args.out, "w") as f:
+            json.dump(result, f)
+        print(json.dumps(result), flush=True)
+        return
+
     state0, step_fn, batch, flags = build_setup()
     global_batch = np.asarray(batch)
     per_proc = global_batch.shape[0] // args.num_processes
