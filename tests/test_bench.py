@@ -1,0 +1,247 @@
+"""bench.py orchestration tests (CPU-only, no TPU, no jax in the parent).
+
+The round's driver deliverable is bench.py printing exactly ONE parseable
+JSON line and exiting 0 no matter how hostile the runtime is (hung
+compiles, crashed children, budget expiry, external SIGTERM).  Round 3's
+driver run produced rc=124 and NOTHING; these tests pin the deadline-proof
+contract so it cannot regress.
+
+Everything here monkeypatches the subprocess boundary (``bench._run_child``
+/ ``bench._wait_for_runtime``), so no child processes or TPU/JAX work is
+involved: the tests cover the jax-free parent orchestration only.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    """A fresh bench module instance per test (module state: BUDGET_S,
+    _current_child)."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # Tests never want the real 4-minute runtime-probe loop.
+    monkeypatch.setattr(mod, "_wait_for_runtime", lambda max_wait_s: None)
+    return mod
+
+
+def _fake_result(value, batch=16, dtype="bfloat16"):
+    return {
+        "ok": True, "batch": batch, "dtype": dtype, "remat": False,
+        "seqs_per_sec_per_chip": value, "step_ms": batch / value * 1e3,
+        "n_chips": 1, "backend": "tpu", "compile_s": {"main": 1.0},
+        "pl_mode": "fused", "main_mode": "fused",
+    }
+
+
+def _last_json_line(capsys):
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, f"expected exactly one JSON line, got: {out!r}"
+    return json.loads(lines[0])
+
+
+def test_parse_candidate_roundtrip(bench):
+    assert bench._parse_candidate("bfloat16:16:False") == ("bfloat16", 16, False)
+    assert bench._parse_candidate("float32:8:True") == ("float32", 8, True)
+    assert bench._parse_candidate("bfloat16:24:128") == ("bfloat16", 24, 128)
+
+
+def test_remat_kw_mapping(bench):
+    assert bench._remat_kw(False) == dict(remat=False)
+    assert bench._remat_kw(True) == dict(remat=True, remat_min_px=0)
+    assert bench._remat_kw(128) == dict(remat=True, remat_min_px=128)
+
+
+def test_happy_path_known_good_then_explore(bench, monkeypatch, capsys):
+    """Healthy runtime: KNOWN_GOOD measured first; best-of wins; one line."""
+    calls = []
+
+    def fake_child(args, timeout_s):
+        calls.append(args)
+        if "--extras" in args:
+            return 0, {"worker_matmul_tflops": 170.0}, ""
+        spec = args[args.index("--one") + 1]
+        dtype, batch, remat = bench._parse_candidate(spec)
+        # Make one EXPLORE config beat KNOWN_GOOD.
+        value = 17.5 if batch == 24 else 16.1
+        return 0, _fake_result(value, batch=batch, dtype=dtype), ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["metric"] == "train_seqs_per_sec_per_chip"
+    assert out["value"] == 17.5
+    assert out["batch"] == 24
+    # KNOWN_GOOD ran first.
+    first_spec = calls[0][calls[0].index("--one") + 1]
+    assert bench._parse_candidate(first_spec) == bench.KNOWN_GOOD
+    # Every attempt is recorded, ok=True.
+    assert all(a["ok"] for a in out["attempts"])
+    assert out["vs_baseline"] > 0
+
+
+def test_vs_baseline_uses_committed_baseline(bench, monkeypatch, capsys):
+    monkeypatch.setattr(
+        bench, "_run_child",
+        lambda args, t: (0, _fake_result(16.0), "") if "--one" in args
+        else (1, None, ""))
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    base = json.load(open(os.path.join(_REPO, "BENCH_BASELINE.json")))["value"]
+    assert out["vs_baseline"] == pytest.approx(16.0 / base, abs=1e-3)
+
+
+def test_degraded_runtime_walks_fallback_ladder(bench, monkeypatch, capsys):
+    """KNOWN_GOOD fails -> first fallback success wins, EXPLORE skipped."""
+    def fake_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        spec = args[args.index("--one") + 1]
+        dtype, batch, remat = bench._parse_candidate(spec)
+        if (dtype, batch, remat) == bench.KNOWN_GOOD:
+            return 1, {"ok": False, "error": "RESOURCE_EXHAUSTED"}, ""
+        if (dtype, batch, remat) == bench.FALLBACKS[0]:
+            return 0, _fake_result(9.0, batch=batch), ""
+        raise AssertionError(f"unexpected candidate {spec}")
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 9.0
+    failed = [a for a in out["attempts"] if not a["ok"]]
+    assert failed and "RESOURCE_EXHAUSTED" in failed[0]["error"]
+
+
+def test_everything_fails_still_prints_one_parseable_line(
+        bench, monkeypatch, capsys):
+    """Worst case (round 3's killer): every child hangs/dies.  The bench
+    must still print exactly one JSON line with value 0.0 and the attempt
+    record, and must not raise."""
+    monkeypatch.setattr(bench, "_run_child",
+                        lambda args, t: (None, None, "wedged"))
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 0.0
+    assert out["vs_baseline"] == 0.0
+    assert "error" in out
+    assert out["attempts"], "attempt record must be present"
+    assert all(not a["ok"] for a in out["attempts"])
+
+
+def test_emergency_tier_fires_when_all_primaries_fail(
+        bench, monkeypatch, capsys):
+    def fake_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        spec = args[args.index("--one") + 1]
+        cand = bench._parse_candidate(spec)
+        if cand == bench.EMERGENCY:
+            return 0, _fake_result(2.5, batch=cand[1]), ""
+        return 1, {"ok": False, "error": "compile helper exit 1"}, ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 2.5
+    assert out["batch"] == bench.EMERGENCY[1]
+
+
+def test_budget_expiry_skips_explore_and_annotates(
+        bench, monkeypatch, capsys):
+    """Once the global budget is gone, EXPLORE candidates are not attempted
+    and the skip is visible in the attempts record."""
+    def fake_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        # Simulate the KNOWN_GOOD child consuming the whole budget.
+        b = bench._ACTIVE_BENCH
+        b.deadline = 0.0  # monotonic() is always past this
+        return 0, _fake_result(16.1), ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+
+    orig_init = bench._Bench.__init__
+
+    def patched_init(self, steps, warmup):
+        orig_init(self, steps, warmup)
+        bench._ACTIVE_BENCH = self
+
+    monkeypatch.setattr(bench._Bench, "__init__", patched_init)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 16.1
+    skipped = [a for a in out["attempts"]
+               if a.get("config") == "remaining EXPLORE"]
+    assert skipped and skipped[0]["error"] == "budget exhausted"
+
+
+def test_emit_is_idempotent(bench, capsys):
+    b = bench._Bench(steps=4, warmup=1)
+    b.emit()
+    b.emit()
+    _last_json_line(capsys)  # asserts exactly one line
+
+
+def test_orchestrator_exception_still_emits(bench, monkeypatch, capsys):
+    def boom(args, timeout_s):
+        raise RuntimeError("orchestration bug")
+
+    monkeypatch.setattr(bench, "_run_child", boom)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 0.0
+    assert any(a.get("config") == "orchestrator" for a in out["attempts"])
+
+
+def test_sigterm_prints_best_so_far_and_exits_zero():
+    """The real SIGTERM handler, in a real process (it calls os._exit so it
+    cannot run in-process): children are stubbed to hang forever — no jax,
+    no TPU — and an external SIGTERM must still yield one parseable JSON
+    line on stdout and rc=0.  This is the round-3 failure mode (driver
+    rc=124, no output) pinned for good."""
+    import signal
+    import subprocess
+    import time
+
+    stub = (
+        "import importlib.util, sys, time\n"
+        f"spec = importlib.util.spec_from_file_location('b', {os.path.join(_REPO, 'bench.py')!r})\n"
+        "b = importlib.util.module_from_spec(spec); spec.loader.exec_module(b)\n"
+        "b._wait_for_runtime = lambda s: None\n"
+        "def hang(args, timeout_s):\n"
+        "    print('CHILD_STARTED', file=sys.stderr, flush=True)\n"
+        "    time.sleep(3600)\n"
+        "b._run_child = hang\n"
+        "b.run_bench(steps=4, warmup=1)\n"
+    )
+    env = dict(os.environ, BENCH_BUDGET_S="3600", BENCH_RESERVE_S="1",
+               PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", stub],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+    # Python startup is ~6 s in this environment: wait for the stub's
+    # readiness marker (handler installed, child hanging) before signaling.
+    marker = proc.stderr.readline()
+    assert "CHILD_STARTED" in marker, marker
+    time.sleep(0.2)
+    proc.send_signal(signal.SIGTERM)
+    try:
+        out, _ = proc.communicate(timeout=30)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        pytest.fail("bench.py did not exit after SIGTERM")
+    assert proc.returncode == 0
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == "train_seqs_per_sec_per_chip"
