@@ -8,9 +8,11 @@ can resume or sample from directly:
     python -m multi_stylegan_tpu.cli.train --load_checkpoint out_dir
     python -m multi_stylegan_tpu.cli.sample --checkpoint out_dir ...
 
-Generator/EMA/discriminator params and the path-length running mean are
-converted; optimizer moments are re-initialized (torch Adam state does not
-transfer across the reparameterization — io/torch_convert.py docstring).
+Generator/EMA/discriminator params, the path-length running mean, AND the
+torch Adam moments (when the .pt carries the optimizer state_dicts, as the
+reference's own checkpoints do — train_multi_stylegan.py:80-81) are all
+converted; the param mapping is pure layout, so moments transfer exactly
+(io/torch_convert.py::convert_adam_state).
 """
 
 from __future__ import annotations
@@ -79,10 +81,25 @@ def main(argv=None) -> None:
         state = state.replace(
             mean_path_length=jnp.asarray(converted["mean_path_length"])
         )
+    # The reference checkpoint carries both torch Adam state_dicts and the
+    # reference restores them on resume (train_multi_stylegan.py:80-81);
+    # the layout-pure conversion transfers the moments exactly.
+    from multi_stylegan_tpu.train.state import install_adam_moments
+
+    moments = []
+    if "generator_adam" in converted:
+        state = state.replace(g_opt_state=install_adam_moments(
+            state.g_opt_state, **converted["generator_adam"]))
+        moments.append("G")
+    if "discriminator_adam" in converted:
+        state = state.replace(d_opt_state=install_adam_moments(
+            state.d_opt_state, **converted["discriminator_adam"]))
+        moments.append("D")
     dest = os.path.abspath(args.dest)
     save_checkpoint(dest, state)
-    print(f"Converted {args.source} -> {dest} "
-          f"(optimizer state re-initialized, step={args.step})")
+    note = (f"{'/'.join(moments)} Adam moments converted" if moments
+            else "no optimizer state in the .pt; moments re-initialized")
+    print(f"Converted {args.source} -> {dest} ({note}, step={args.step})")
 
 
 if __name__ == "__main__":

@@ -231,7 +231,29 @@ def main(argv=None) -> None:
                     jnp.asarray, converted["discriminator"]["params"]
                 ),
             )
-            print("Loaded reference .pt checkpoint (optimizer state reset)")
+            # The reference restores both Adam state_dicts on
+            # --load_checkpoint (train_multi_stylegan.py:80-81); moments
+            # transfer exactly under the layout conversion.
+            from multi_stylegan_tpu.train.state import install_adam_moments
+
+            got_moments = []
+            if "generator_adam" in converted:
+                trainer.state = trainer.state.replace(
+                    g_opt_state=install_adam_moments(
+                        trainer.state.g_opt_state, **converted["generator_adam"]))
+                got_moments.append("G")
+            if "discriminator_adam" in converted:
+                trainer.state = trainer.state.replace(
+                    d_opt_state=install_adam_moments(
+                        trainer.state.d_opt_state,
+                        **converted["discriminator_adam"]))
+                got_moments.append("D")
+            if got_moments:
+                print("Loaded reference .pt checkpoint "
+                      f"(+ {'/'.join(got_moments)} Adam moments)")
+            else:
+                print("Loaded reference .pt checkpoint (no optimizer state "
+                      "in the .pt; moments start fresh)")
         else:
             trainer.restore_latest()
             print("Restored orbax checkpoint")

@@ -182,6 +182,201 @@ def convert_discriminator(
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# Optimizer-state (Adam moment) conversion.
+#
+# The reference checkpoint also stores both torch Adam state_dicts and
+# restores them on --load_checkpoint (train_multi_stylegan.py:80-81).  All
+# param conversions above are pure layout transforms (transpose / reshape /
+# index), so exp_avg / exp_avg_sq transfer EXACTLY under the same transform
+# (elementwise state commutes with permutation; the square in exp_avg_sq is
+# elementwise too).  torch Adam state_dicts address parameters by integer
+# index, assigned in the order the params were handed to the optimizer:
+#   * generator: the 11 param groups of Generator.get_parameters
+#     (multi_stylegan_generator.py:97-112), each group in that submodule's
+#     torch named_parameters order;
+#   * discriminator: plain .parameters() registration order
+#     (u_net_2d_discriminator.py:33-101).
+# Within one nn.Module, torch yields the module's DIRECT parameters first,
+# then children in registration order (so e.g. OutputBlock.bias precedes its
+# modulated_convolution weights: multi_stylegan_generator.py:472-510).  The
+# order builders below are validated against real torch modules in
+# tests/test_optim_convert.py, and every entry is shape-checked against the
+# model state_dict at conversion time, so a misalignment is a hard error,
+# never a silently wrong moment.
+# ---------------------------------------------------------------------------
+
+# Each entry: (torch_key, path_into_our_param_tree, numpy-layout-transform).
+_id = lambda a: a
+_t_linear = lambda a: a.transpose(1, 0)
+_t_conv = lambda a: a.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+_t_modconv = lambda a: a[0].transpose(2, 3, 1, 0)  # [1,O,I,kh,kw] -> HWIO
+_t_const = lambda a: a.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+_t_scalar1 = lambda a: a.reshape(1)
+_t_scalar0 = lambda a: a.reshape(())
+
+
+def _styled_conv_entries(prefix: str, path: tuple, mm: bool):
+    e = [(f"{prefix}.modulated_convolution.weight",
+          path + ("conv", "weight"), _t_modconv)]
+    if mm:
+        e += [(f"{prefix}.modulated_convolution.modulation_mapping.weight",
+               path + ("conv", "modulation", "weight"), _t_linear),
+              (f"{prefix}.modulated_convolution.modulation_mapping.bias",
+               path + ("conv", "modulation", "bias"), _id)]
+    e += [(f"{prefix}.noise_injection.weight", path + ("noise", "weight"), _id),
+          (f"{prefix}.activation.bias", path + ("act", "bias"), _id)]
+    return e
+
+
+def _output_block_entries(prefix: str, path: tuple, mm: bool):
+    # Direct parameter `bias` precedes the child module's params in torch's
+    # iteration order (multi_stylegan_generator.py:505-510).
+    e = [(f"{prefix}.bias", path + ("bias",), _t_scalar1),
+         (f"{prefix}.modulated_convolution.weight",
+          path + ("conv", "weight"), _t_modconv)]
+    if mm:
+        e += [(f"{prefix}.modulated_convolution.modulation_mapping.weight",
+               path + ("conv", "modulation", "weight"), _t_linear),
+              (f"{prefix}.modulated_convolution.modulation_mapping.bias",
+               path + ("conv", "modulation", "bias"), _id)]
+    return e
+
+
+def generator_adam_order(config: GeneratorConfig = GeneratorConfig()):
+    """Ordered (torch_key, our_path, transform) list matching the torch Adam
+    param indices of Generator.get_parameters
+    (multi_stylegan_generator.py:97-112): per-tower groups first (tower 1
+    then tower 2), style mapping LAST (its lr/100 group)."""
+    entries = []
+    for t, mm in ((1, True), (2, False)):
+        entries.append((f"constant_input_{t}.input",
+                        (f"constant_input_{t}",), _t_const))
+        entries += _styled_conv_entries(
+            f"starting_convolution_{t}", (f"starting_convolution_{t}",), mm)
+        entries += _output_block_entries(
+            f"starting_output_block_{t}", (f"starting_output_block_{t}",), mm)
+        for i in range(2 * config.n_stages):
+            entries += _styled_conv_entries(
+                f"main_convolutions_{t}.{i}", (f"main_convolutions_{t}_{i}",), mm)
+        for i in range(config.n_stages):
+            entries += _output_block_entries(
+                f"output_blocks_{t}.{i}", (f"output_blocks_{t}_{i}",), mm)
+    for i in range(config.depth_style_mapping):
+        entries += [
+            (f"style_mapping.layers.{1 + 2 * i}.weight",
+             ("style_mapping", f"linear_{i}", "weight"), _t_linear),
+            (f"style_mapping.layers.{2 + 2 * i}.bias",
+             ("style_mapping", f"act_{i}", "bias"), _id),
+        ]
+    return entries
+
+
+def discriminator_adam_order(
+    model_sd: Mapping[str, Any],
+    config: DiscriminatorConfig = DiscriminatorConfig(),
+):
+    """Ordered (torch_key, our_path, transform) list matching
+    ``Discriminator.parameters()`` registration order
+    (u_net_2d_discriminator.py:33-101).  Residual-mapping presence is read
+    off the (prefix-stripped) model state_dict, as in convert_discriminator."""
+
+    def resnet(prefix, path):
+        e = [(f"{prefix}.main_mapping.0.weight", path + ("conv_0", "weight"), _t_conv),
+             (f"{prefix}.main_mapping.1.bias", path + ("act_0", "bias"), _id),
+             (f"{prefix}.main_mapping.2.weight", path + ("conv_1", "weight"), _t_conv),
+             (f"{prefix}.main_mapping.3.bias", path + ("act_1", "bias"), _id)]
+        if f"{prefix}.residual_mapping.weight" in model_sd:
+            e.append((f"{prefix}.residual_mapping.weight",
+                      path + ("residual", "weight"), _t_conv))
+        return e
+
+    def nonlocal_(prefix, path):
+        # gamma is a direct parameter of the block, so it precedes every
+        # child conv (u_net_2d_discriminator.py:335-358 + torch's
+        # direct-params-first iteration).
+        e = [(f"{prefix}.gamma", path + ("gamma",), _t_scalar0)]
+        e += [(f"{prefix}.{n}.weight", path + (n, "weight"), _t_conv)
+              for n in ("theta", "phi", "g", "o")]
+        if f"{prefix}.residual_mapping.weight" in model_sd:
+            e.append((f"{prefix}.residual_mapping.weight",
+                      path + ("residual", "weight"), _t_conv))
+        return e
+
+    entries = []
+    n_enc = len(config.encoder_channels)
+    for i in range(n_enc):
+        prefix, path = f"encoder_blocks.{i}", (f"encoder_{i}",)
+        entries += nonlocal_(prefix, path) if i == 2 else resnet(prefix, path)
+    for i in range(n_enc - 1):
+        entries += [(f"downscale_convolutions.{i}.0.weight",
+                     (f"downscale_{i}", "weight"), _t_conv),
+                    (f"downscale_convolutions.{i}.0.bias",
+                     (f"downscale_{i}", "bias"), _id)]
+    entries += [("classification_head.2.weight", ("head_linear_0", "weight"), _t_linear),
+                ("classification_head.3.bias", ("head_act", "bias"), _id),
+                ("classification_head.4.weight", ("head_linear_1", "weight"), _t_linear)]
+    for i in range(len(config.decoder_channels)):
+        prefix, path = f"decoder_blocks.{i}", (f"decoder_{i}",)
+        entries += nonlocal_(prefix, path) if i == 1 else resnet(prefix, path)
+    for i in range(len(config.decoder_channels)):
+        entries.append((f"transposed_convolutions.{i}.1.weight",
+                        (f"upconv_{i}", "weight"), _t_conv))
+    entries += [("final_mapping.0.bias", ("final_act", "bias"), _id),
+                ("final_mapping.1.weight", ("final_conv", "weight"), _t_conv)]
+    return entries
+
+
+def _set_path(tree: Dict[str, Any], path: tuple, value) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def convert_adam_state(
+    opt_state_dict: Mapping[str, Any],
+    order,
+    model_sd: Mapping[str, Any],
+) -> Dict[str, Any]:
+    """torch ``Adam.state_dict()`` -> ``{"mu", "nu", "count"}`` trees shaped
+    like our param trees.
+
+    ``order`` is a generator_adam_order / discriminator_adam_order list;
+    ``model_sd`` the (prefix-stripped) matching model state_dict, used to
+    shape-check every moment so an index misalignment raises instead of
+    silently grafting the wrong moments.  Params the optimizer never stepped
+    (absent from ``state``) get zero moments — torch Adam's own lazy init."""
+    flat_idx = [i for g in opt_state_dict["param_groups"] for i in g["params"]]
+    if len(flat_idx) != len(order):
+        raise ValueError(
+            f"optimizer has {len(flat_idx)} params but the architecture "
+            f"order lists {len(order)} - config mismatch?")
+    state = opt_state_dict["state"]
+    mu: Dict[str, Any] = {}
+    nu: Dict[str, Any] = {}
+    steps = [0]
+    for pos, (torch_key, path, transform) in enumerate(order):
+        ref_shape = tuple(_np(model_sd[torch_key]).shape)
+        st = state.get(flat_idx[pos])
+        if st is None:
+            m = np.zeros(ref_shape, np.float32)
+            v = np.zeros(ref_shape, np.float32)
+        else:
+            m, v = _np(st["exp_avg"]), _np(st["exp_avg_sq"])
+            if tuple(m.shape) != ref_shape:
+                raise ValueError(
+                    f"Adam moment at index {flat_idx[pos]} has shape "
+                    f"{tuple(m.shape)} but '{torch_key}' expects {ref_shape}: "
+                    "parameter ordering mismatch")
+            s = st.get("step", 0)
+            steps.append(int(s) if isinstance(s, (int, float))
+                         else int(_np(s).reshape(())))
+        _set_path(mu, path, transform(m.astype(np.float32)))
+        _set_path(nu, path, transform(v.astype(np.float32)))
+    return {"mu": mu, "nu": nu, "count": max(steps)}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference ``checkpoint_{epoch}.pt`` with torch (CPU)."""
     import torch
@@ -194,9 +389,14 @@ def convert_reference_checkpoint(
     g_config: GeneratorConfig = GeneratorConfig(),
     d_config: DiscriminatorConfig = DiscriminatorConfig(),
 ) -> Dict[str, Any]:
-    """Convert the published 6-key checkpoint into framework pytrees
-    (optimizer state is NOT converted - torch Adam moments do not transfer
-    meaningfully across the reparameterization)."""
+    """Convert the published 6-key checkpoint into framework pytrees.
+
+    When the checkpoint carries the torch Adam state_dicts (the reference
+    always saves and restores them, train_multi_stylegan.py:80-81 /
+    model_wrapper.py:181-192), they are converted too — the param mapping is
+    pure layout, so moments transfer exactly — under ``generator_adam`` /
+    ``discriminator_adam`` ({"mu", "nu", "count"} trees for
+    train.state.install_adam_moments)."""
     ckpt = load_torch_checkpoint(path)
     out = {
         "generator_ema": convert_generator(ckpt["generator_ema"], g_config),
@@ -206,4 +406,13 @@ def convert_reference_checkpoint(
     plr = ckpt.get("path_length_regularization")
     if plr and "mean_path_length" in plr:
         out["mean_path_length"] = float(_np(plr["mean_path_length"]).reshape(()))
+    if "generator_optimizer" in ckpt:
+        out["generator_adam"] = convert_adam_state(
+            ckpt["generator_optimizer"], generator_adam_order(g_config),
+            strip_prefixes(ckpt["generator"]))
+    if "discriminator_optimizer" in ckpt:
+        d_sd = strip_prefixes(ckpt["discriminator"])
+        out["discriminator_adam"] = convert_adam_state(
+            ckpt["discriminator_optimizer"],
+            discriminator_adam_order(d_sd, d_config), d_sd)
     return out

@@ -101,6 +101,54 @@ def make_discriminator_optimizer(
     ))
 
 
+def _graft_moments(target, source) -> Any:
+    """Replace every array leaf of ``target`` (an optax mu/nu tree, possibly
+    containing optax.MaskedNode placeholders under multi_transform) with the
+    array at the same dict path in ``source``.  MaskedNodes flatten to no
+    leaves, so each masked Adam group picks up exactly its own subset."""
+
+    def pick(path, leaf):
+        node = source
+        for p in path:
+            node = node[p.key]
+        arr = jnp.asarray(node, dtype=leaf.dtype)
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"converted moment at {jax.tree_util.keystr(path)} has shape "
+                f"{arr.shape}, optimizer expects {leaf.shape}")
+        return arr
+
+    return jax.tree_util.tree_map_with_path(pick, target)
+
+
+def install_adam_moments(opt_state, mu, nu, count: int):
+    """Graft converted torch Adam moments (io/torch_convert.py::
+    convert_adam_state) into an optax optimizer state.
+
+    The reference restores both Adam state_dicts on --load_checkpoint
+    (train_multi_stylegan.py:80-81); this is the optax side of that resume
+    path.  Works on any state produced by make_generator_optimizer /
+    make_discriminator_optimizer: every ScaleByAdamState found in the state
+    pytree (under apply_if_finite / chain / multi_transform wrappers) gets
+    its mu/nu leaves replaced and its count set — optax bias-corrects with
+    the same ``count`` semantics as torch's per-param ``step``, so the next
+    update continues the torch trajectory exactly."""
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                count=jnp.asarray(count, node.count.dtype),
+                mu=_graft_moments(node.mu, mu),
+                nu=_graft_moments(node.nu, nu),
+            )
+        return node
+
+    return jax.tree.map(
+        fix, opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )
+
+
 def create_train_state(
     rng: jax.Array,
     generator: Generator,
