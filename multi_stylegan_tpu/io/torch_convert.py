@@ -243,33 +243,45 @@ def _output_block_entries(prefix: str, path: tuple, mm: bool):
     return e
 
 
-def generator_adam_order(config: GeneratorConfig = GeneratorConfig()):
-    """Ordered (torch_key, our_path, transform) list matching the torch Adam
-    param indices of Generator.get_parameters
-    (multi_stylegan_generator.py:97-112): per-tower groups first (tower 1
-    then tower 2), style mapping LAST (its lr/100 group)."""
-    entries = []
+def generator_adam_groups(config: GeneratorConfig = GeneratorConfig()):
+    """The 11 param groups of Generator.get_parameters
+    (multi_stylegan_generator.py:97-112), as ordered entry lists: per-tower
+    groups first (tower 1 then tower 2), style mapping LAST (the lr/100
+    group).  Groups 0-9 train at lr_main, group 10 at lr_style."""
+    groups = []
     for t, mm in ((1, True), (2, False)):
-        entries.append((f"constant_input_{t}.input",
-                        (f"constant_input_{t}",), _t_const))
-        entries += _styled_conv_entries(
-            f"starting_convolution_{t}", (f"starting_convolution_{t}",), mm)
-        entries += _output_block_entries(
-            f"starting_output_block_{t}", (f"starting_output_block_{t}",), mm)
+        groups.append([(f"constant_input_{t}.input",
+                        (f"constant_input_{t}",), _t_const)])
+        groups.append(_styled_conv_entries(
+            f"starting_convolution_{t}", (f"starting_convolution_{t}",), mm))
+        groups.append(_output_block_entries(
+            f"starting_output_block_{t}", (f"starting_output_block_{t}",), mm))
+        main = []
         for i in range(2 * config.n_stages):
-            entries += _styled_conv_entries(
+            main += _styled_conv_entries(
                 f"main_convolutions_{t}.{i}", (f"main_convolutions_{t}_{i}",), mm)
+        groups.append(main)
+        out = []
         for i in range(config.n_stages):
-            entries += _output_block_entries(
+            out += _output_block_entries(
                 f"output_blocks_{t}.{i}", (f"output_blocks_{t}_{i}",), mm)
+        groups.append(out)
+    style = []
     for i in range(config.depth_style_mapping):
-        entries += [
+        style += [
             (f"style_mapping.layers.{1 + 2 * i}.weight",
              ("style_mapping", f"linear_{i}", "weight"), _t_linear),
             (f"style_mapping.layers.{2 + 2 * i}.bias",
              ("style_mapping", f"act_{i}", "bias"), _id),
         ]
-    return entries
+    groups.append(style)
+    return groups
+
+
+def generator_adam_order(config: GeneratorConfig = GeneratorConfig()):
+    """Flattened generator_adam_groups: ordered (torch_key, our_path,
+    transform) entries matching the global torch Adam param indices."""
+    return [e for group in generator_adam_groups(config) for e in group]
 
 
 def discriminator_adam_order(
@@ -375,6 +387,209 @@ def convert_adam_state(
         _set_path(mu, path, transform(m.astype(np.float32)))
         _set_path(nu, path, transform(v.astype(np.float32)))
     return {"mu": mu, "nu": nu, "count": max(steps)}
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: framework pytrees -> reference-format ``.pt``.
+#
+# Every forward transform above is a pure permutation/reshape, so the export
+# is its exact inverse; a framework-trained model (params, EMA, Adam moments)
+# round-trips into a checkpoint the reference's own load path
+# (train_multi_stylegan.py:73-86) accepts: unprefixed generator keys, the ADA
+# wrapper's "discriminator." prefix (the reference saves the wrapped module,
+# model_wrapper.py:181-192), deterministic blur/upsample kernel buffers
+# recomputed from the reference's constructors, 6-key dict with an EMPTY
+# path_length_regularization state_dict (``mean_path_length`` is a plain
+# attribute, not a registered buffer, loss.py:353-369 — the reference itself
+# loses it on resume; our native checkpoints keep it).
+# ---------------------------------------------------------------------------
+
+_INVERSE = {
+    _id: _id,
+    _t_linear: _t_linear,  # self-inverse
+    _t_conv: lambda a: a.transpose(3, 2, 0, 1),  # HWIO -> OIHW
+    _t_modconv: lambda a: a.transpose(3, 2, 0, 1)[None],  # HWIO -> [1,O,I,kh,kw]
+    _t_const: lambda a: a.transpose(0, 3, 1, 2),  # NHWC -> NCHW
+    _t_scalar1: lambda a: a.reshape(1, 1, 1, 1),
+    _t_scalar0: lambda a: a.reshape(()),
+}
+
+
+def _get_path(tree, path: tuple):
+    node = tree
+    for key in path:
+        node = node[key]
+    return node
+
+
+def _export_entries(sd: Dict[str, Any], entries, tree) -> None:
+    for torch_key, path, transform in entries:
+        sd[torch_key] = np.asarray(
+            _INVERSE[transform](np.asarray(_get_path(tree, path), np.float32)))
+
+
+def _blur_kernel_np(gain: float = 1.0,
+                    taps=(1, 3, 3, 1)) -> "np.ndarray":
+    """Reference ``make_kernel``: sum-normalized outer product
+    (multi_stylegan_generator.py:551-566), times the upsampling Blur's
+    ``sampling_factor ** 2`` gain when requested (:598-601)."""
+    k = np.asarray(taps, np.float32)
+    k = np.outer(k, k)
+    return (k / k.sum() * gain).astype(np.float32)
+
+
+def export_generator(
+    params, noises, config: GeneratorConfig = GeneratorConfig()
+) -> Dict[str, Any]:
+    """Framework generator {params, noises} -> reference-keyed state_dict,
+    including the deterministic buffer keys torch registered (upsampling
+    modconv ``blur.kernel`` with gain 4, output-block ``upsampling.kernel``
+    normalized, noise buffers)."""
+    sd: Dict[str, Any] = {}
+    _export_entries(sd, generator_adam_order(config), params)
+    for t in (1, 2):
+        for i in range(2 * config.n_stages):
+            if i % 2 == 0:  # the (2,2) upsampling convs carry a Blur child
+                sd[f"main_convolutions_{t}.{i}.modulated_convolution.blur."
+                   "kernel"] = _blur_kernel_np(gain=4.0, taps=config.blur_taps)
+        for i in range(config.n_stages):
+            sd[f"output_blocks_{t}.{i}.upsampling.kernel"] = _blur_kernel_np(
+                taps=config.blur_taps)
+    for name, buf in noises.items():
+        sd[f"noises.{name}"] = np.asarray(buf, np.float32).transpose(0, 3, 1, 2)
+    return sd
+
+
+def export_discriminator(
+    params, config: DiscriminatorConfig = DiscriminatorConfig()
+) -> Dict[str, Any]:
+    """Framework discriminator params -> reference-keyed state_dict WITHOUT
+    the ADA-wrapper prefix (callers add it for the checkpoint dict)."""
+    # Build a presence-only fake sd so the order builder can see which
+    # residual mappings exist (channel-inequality, same rule both ways).
+    probe = {}
+    for block, prefix in (
+        [(params.get(f"encoder_{i}"), f"encoder_blocks.{i}")
+         for i in range(len(config.encoder_channels))]
+        + [(params.get(f"decoder_{i}"), f"decoder_blocks.{i}")
+           for i in range(len(config.decoder_channels))]
+    ):
+        if block and "residual" in block:
+            probe[f"{prefix}.residual_mapping.weight"] = True
+    sd: Dict[str, Any] = {}
+    _export_entries(sd, discriminator_adam_order(probe, config), params)
+    for i in range(len(config.encoder_channels) - 1):
+        sd[f"downscale_convolutions.{i}.1.kernel"] = _blur_kernel_np()
+    for i in range(len(config.decoder_channels)):
+        sd[f"transposed_convolutions.{i}.0.kernel"] = _blur_kernel_np()
+    return sd
+
+
+def export_adam_state(
+    moments: Mapping[str, Any],
+    grouped_entries,
+    lrs,
+    betas=(0.0, 0.999),
+) -> Dict[str, Any]:
+    """{"mu","nu","count"} trees -> a torch ``Adam.state_dict()``-format dict
+    (torch-1.8 field set, the reference's environment) with the reference's
+    param-group structure; ``lrs`` gives one learning rate per group."""
+    assert len(lrs) == len(grouped_entries)
+    state: Dict[int, Any] = {}
+    param_groups = []
+    idx = 0
+    count = int(moments["count"])
+    for group, lr in zip(grouped_entries, lrs):
+        ids = []
+        for torch_key, path, transform in group:
+            inv = _INVERSE[transform]
+            state[idx] = {
+                "step": count,
+                "exp_avg": inv(np.asarray(_get_path(moments["mu"], path),
+                                          np.float32)),
+                "exp_avg_sq": inv(np.asarray(_get_path(moments["nu"], path),
+                                             np.float32)),
+            }
+            ids.append(idx)
+            idx += 1
+        param_groups.append({
+            "lr": float(lr), "betas": (float(betas[0]), float(betas[1])),
+            "eps": 1e-8, "weight_decay": 0, "amsgrad": False, "params": ids,
+        })
+    return {"state": state, "param_groups": param_groups}
+
+
+def export_reference_checkpoint(
+    g_params, g_noises, g_ema_params, d_params,
+    g_config: GeneratorConfig = GeneratorConfig(),
+    d_config: DiscriminatorConfig = DiscriminatorConfig(),
+    g_adam: Mapping[str, Any] | None = None,
+    d_adam: Mapping[str, Any] | None = None,
+    lr_generator: float = 2e-4,
+    lr_discriminator: float = 6e-4,
+    lr_style_factor: float = 0.01,
+    adam_betas=(0.0, 0.999),
+) -> Dict[str, Any]:
+    """Build the reference's 6-key checkpoint dict (model_wrapper.py:181-192)
+    from framework pytrees, as torch tensors ready for ``torch.save``.
+
+    ``g_adam``/``d_adam`` are {"mu","nu","count"} trees (see
+    train.state.extract_adam_moments); when omitted, zero moments at count 0
+    are emitted so the reference's unconditional optimizer restore
+    (train_multi_stylegan.py:80-81) still succeeds."""
+    import torch
+
+    def zeros_like_tree(tree):
+        return jax_free_map(lambda a: np.zeros(np.asarray(a).shape, np.float32),
+                            tree)
+
+    def jax_free_map(fn, tree):
+        if isinstance(tree, Mapping):
+            return {k: jax_free_map(fn, v) for k, v in tree.items()}
+        return fn(tree)
+
+    if g_adam is None:
+        g_adam = {"mu": zeros_like_tree(g_params),
+                  "nu": zeros_like_tree(g_params), "count": 0}
+    if d_adam is None:
+        d_adam = {"mu": zeros_like_tree(d_params),
+                  "nu": zeros_like_tree(d_params), "count": 0}
+
+    g_groups = generator_adam_groups(g_config)
+    g_lrs = [lr_generator] * (len(g_groups) - 1) + [
+        lr_generator * lr_style_factor]
+    d_probe = export_discriminator(d_params, d_config)
+    d_order = discriminator_adam_order(d_probe, d_config)
+
+    def to_torch(d):
+        return {k: torch.from_numpy(np.array(v, np.float32)) if not isinstance(
+            v, (int, float, list, tuple, dict)) else v for k, v in d.items()}
+
+    def opt_to_torch(opt_sd):
+        return {
+            "state": {i: {"step": s["step"],
+                          "exp_avg": torch.from_numpy(
+                              np.array(s["exp_avg"], np.float32)),
+                          "exp_avg_sq": torch.from_numpy(
+                              np.array(s["exp_avg_sq"], np.float32))}
+                      for i, s in opt_sd["state"].items()},
+            "param_groups": opt_sd["param_groups"],
+        }
+
+    return {
+        "generator_ema": to_torch(
+            export_generator(g_ema_params, g_noises, g_config)),
+        "generator": to_torch(export_generator(g_params, g_noises, g_config)),
+        "generator_optimizer": opt_to_torch(export_adam_state(
+            g_adam, g_groups, g_lrs, adam_betas)),
+        "discriminator": {f"discriminator.{k}": v
+                          for k, v in to_torch(d_probe).items()},
+        "discriminator_optimizer": opt_to_torch(export_adam_state(
+            d_adam, [d_order], [lr_discriminator], adam_betas)),
+        # mean_path_length is a plain attribute in the reference, so its
+        # state_dict is empty (loss.py:353-369) - emit the same.
+        "path_length_regularization": {},
+    }
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:

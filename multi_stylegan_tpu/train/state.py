@@ -149,6 +149,36 @@ def install_adam_moments(opt_state, mu, nu, count: int):
     )
 
 
+def extract_adam_moments(opt_state) -> dict:
+    """Inverse of install_adam_moments: collect {"mu", "nu", "count"} trees
+    from every ScaleByAdamState in an optax state (under apply_if_finite /
+    chain / multi_transform wrappers).  multi_transform's masked groups hold
+    arrays only at their own leaves (MaskedNode elsewhere), so overlaying
+    all groups reassembles the full param-shaped tree — the torch-format
+    source for io.torch_convert.export_adam_state."""
+    mu: dict = {}
+    nu: dict = {}
+    counts = [0]
+
+    def overlay(dst, src_state):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(src_state):
+            node = dst
+            for p in path[:-1]:
+                node = node.setdefault(p.key, {})
+            node[path[-1].key] = leaf
+
+    def visit(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            counts.append(int(node.count))
+            overlay(mu, node.mu)
+            overlay(nu, node.nu)
+        return node
+
+    jax.tree.map(visit, opt_state,
+                 is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+    return {"mu": mu, "nu": nu, "count": max(counts)}
+
+
 def create_train_state(
     rng: jax.Array,
     generator: Generator,
