@@ -55,9 +55,19 @@ import time
 KNOWN_GOOD = ("bfloat16", 16, False)
 EXPLORE = (("bfloat16", 24, 128), ("bfloat16", 20, 128),
            ("bfloat16", 20, False), ("bfloat16", 24, True))
-FALLBACKS = (("bfloat16", 8, False), ("float32", 16, True),
-             ("bfloat16", 8, True), ("float32", 8, True))
+# Fallback order is by FEASIBILITY on a degraded/cold runtime, not by
+# throughput: b4/full-remat is covered by `--prewarm` (cache-hot) and was
+# measured end-to-end at ~7 min wall on a slow runtime (round 4), so it goes
+# FIRST - a 6.7 beats the 0.0 that a cold b8 compile timeout yields.
+FALLBACKS = (("bfloat16", 4, True), ("bfloat16", 8, False),
+             ("float32", 16, True), ("bfloat16", 8, True))
 EMERGENCY = ("bfloat16", 4, True)
+# Wall-clock floor per child on THIS runtime (measured round 4): ~60-120 s
+# device-init handshake + cache-blob upload to the remote worker + steps.
+# Even a fully cache-hot b4 child needs ~7 min; budget arithmetic below
+# assumes children are EXPENSIVE and probes are not free.
+LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
 
 # Global wall-clock budget for the whole bench (watchdog).  Must stay below
 # whatever external timeout the driver wraps around `python bench.py` —
@@ -153,7 +163,7 @@ def _cost_flops(compiled) -> float:
 
 
 def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
-             with_flops: bool):
+             with_flops: bool, skip_pl: bool = False):
     import jax
 
     from multi_stylegan_tpu.models.config import TrainingConfig
@@ -192,21 +202,24 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     t_c = time.perf_counter()
     r1_c = r1.lower(state, data).compile()
     compile_s["r1"] = round(time.perf_counter() - t_c, 1)
-    t_c = time.perf_counter()
-    pl.prepare(state)  # tiered compile, no execution
-    compile_s["pl"] = round(time.perf_counter() - t_c, 1)
+    if not skip_pl:
+        t_c = time.perf_counter()
+        pl.prepare(state)  # tiered compile, no execution
+        compile_s["pl"] = round(time.perf_counter() - t_c, 1)
     flops = None
     if with_flops:
         try:
             flops = sum(_cost_flops(p) for p in main_progs)
             flops += _cost_flops(r1_c) / lazy
-            flops += (pl.flops() or 0.0) / lazy
+            if not skip_pl:
+                flops += (pl.flops() or 0.0) / lazy
         except Exception:
             flops = None
     for _ in range(warmup):
         state, metrics = main_c(state, data, flags)
     state, _ = r1_c(state, data)  # run reg programs outside timing
-    state, _, _ = pl(state)
+    if not skip_pl:
+        state, _, _ = pl(state)
     # NOTE: on the tunneled axon runtime, block_until_ready can ack before
     # execution completes; a host scalar fetch is the only trustworthy
     # barrier.  OOMs also surface here, not at dispatch.
@@ -216,7 +229,8 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         state, metrics = main_c(state, data, flags)
         if i % lazy == 0:
             state, _ = r1_c(state, data)
-            state, _, _ = pl(state)
+            if not skip_pl:
+                state, _, _ = pl(state)
     final_loss = float(metrics["loss_generator"])
     dt = time.perf_counter() - t0
     if not (final_loss == final_loss and abs(final_loss) < 1e30):
@@ -234,10 +248,10 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         "n_chips": n_chips,
         "backend": jax.default_backend(),
         "compile_s": compile_s,
-        "pl_mode": pl.mode["m"],
+        "pl_mode": "skipped" if skip_pl else pl.mode["m"],
         "main_mode": main_mode,
     }
-    if pl.mode["m"] == "excluded":
+    if skip_pl or pl.mode["m"] == "excluded":
         # The degraded compile helper could not build any second-order G
         # program (fused, split, or chunked): the loop ran without
         # path-length.  Stay
@@ -254,6 +268,10 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         result["seqs_per_sec_per_chip"] = batch * steps / dt_adj / n_chips
         result["step_ms"] = dt_adj / steps * 1e3
         result["path_length_note"] = (
+            "pl skipped by the fast-fallback policy; charged 2x r1 "
+            f"({r1_ms:.0f} ms) per 16 steps as a conservative proxy; "
+            "reported MFU/flops exclude PL"
+        ) if skip_pl else (
             "pl program failed to compile (remote compile-helper "
             f"degradation); charged 2x r1 ({r1_ms:.0f} ms) per 16 steps "
             "as a conservative proxy; reported MFU/flops exclude PL"
@@ -395,7 +413,8 @@ def _parse_candidate(spec: str):
     return dtype, int(batch), remat
 
 
-def _one(spec: str, steps: int, warmup: int, with_flops: bool) -> None:
+def _one(spec: str, steps: int, warmup: int, with_flops: bool,
+         skip_pl: bool = False) -> None:
     """Measure a single candidate in THIS process; print one JSON line.
 
     Never raises: failures become {"ok": false, "error": ...} so the parent
@@ -405,7 +424,8 @@ def _one(spec: str, steps: int, warmup: int, with_flops: bool) -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     dtype, batch, remat = _parse_candidate(spec)
     try:
-        r = _measure(dtype, batch, remat, steps, warmup, with_flops)
+        r = _measure(dtype, batch, remat, steps, warmup, with_flops,
+                     skip_pl=skip_pl)
         r["ok"] = True
     except Exception as exc:
         r = {"ok": False,
@@ -478,7 +498,7 @@ def _wait_for_runtime(max_wait_s: float) -> None:
     )
     deadline = time.monotonic() + max_wait_s
     attempt = 0
-    while time.monotonic() < deadline:
+    while time.monotonic() < deadline and attempt < 2:
         attempt += 1
         try:
             r = subprocess.run(
@@ -512,7 +532,8 @@ class _Bench:
     def remaining(self) -> float:
         return self.deadline - time.monotonic()
 
-    def attempt(self, cand, timeout_s: float, with_flops: bool = True) -> bool:
+    def attempt(self, cand, timeout_s: float, with_flops: bool = True,
+                skip_pl: bool = False) -> bool:
         dtype, batch, remat = cand
         tag = f"{dtype}/b{batch}/remat={remat}"
         t_a = time.monotonic()
@@ -520,6 +541,8 @@ class _Bench:
                 "--steps", str(self.steps), "--warmup", str(self.warmup)]
         if not with_flops:
             args.append("--no_flops")
+        if skip_pl:
+            args.append("--skip_pl")
         rc, r, err = _run_child(args, timeout_s)
         wall = round(time.monotonic() - t_a, 1)
         if rc is None:
@@ -545,6 +568,11 @@ class _Bench:
         if (self.best is None or r["seqs_per_sec_per_chip"]
                 > self.best["seqs_per_sec_per_chip"]):
             self.best = r
+            try:  # survives for the next run's total-failure diagnostics
+                json.dump({"recorded_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+                           "result": r}, open(LAST_GOOD_PATH, "w"))
+            except OSError:
+                pass
         return True
 
     def emit(self) -> None:
@@ -569,6 +597,14 @@ class _Bench:
                          f"({int(BUDGET_S)}s); see attempts",
                 "attempts": self.attempts,
             }
+            # Diagnostics only (value stays 0.0): what this machine last
+            # measured, so a reader can tell a slow runtime from a broken
+            # framework.
+            try:
+                out["last_good_on_this_machine"] = json.load(
+                    open(LAST_GOOD_PATH))
+            except (OSError, ValueError):
+                pass
         else:
             value = self.best["seqs_per_sec_per_chip"]
             out = {
@@ -610,7 +646,10 @@ def run_bench(steps: int = 16, warmup: int = 2) -> None:
     signal.signal(signal.SIGTERM, _on_term)
 
     try:
-        _wait_for_runtime(min(240.0, max(0.0, bench.remaining() - RESERVE_S)))
+        # Probes are capped hard (2 x <=90 s): every second burned here is
+        # a second stolen from the KNOWN_GOOD child, which needs ~8 min
+        # wall even fully cache-hot on this runtime.
+        _wait_for_runtime(min(120.0, max(0.0, bench.remaining() - RESERVE_S)))
         # 1. KNOWN_GOOD first — keep its result printable at all times.
         # Child timeouts are always clamped by the remaining budget: the
         # internal deadline must hold even when a floor would exceed it.
@@ -631,13 +670,13 @@ def run_bench(steps: int = 16, warmup: int = 2) -> None:
                     break
                 if bench.attempt(cand,
                                  max(1.0, bench.remaining() - RESERVE_S / 2),
-                                 with_flops=False):
+                                 with_flops=False, skip_pl=True):
                     break
         # 2. Emergency tier: if NOTHING succeeded, burn the reserve on the
         # tiniest config so the driver still gets a real number.
         if bench.best is None and bench.remaining() > 45:
             bench.attempt(EMERGENCY, max(30.0, bench.remaining() - 15),
-                          with_flops=False)
+                          with_flops=False, skip_pl=True)
         # 3. Aux numbers only with time to spare.
         if bench.best is not None and bench.remaining() > 120:
             rc, r, _ = _run_child(
@@ -662,7 +701,8 @@ def main() -> None:
         steps = int(argv[argv.index("--steps") + 1]) if "--steps" in argv else 16
         warmup = (int(argv[argv.index("--warmup") + 1])
                   if "--warmup" in argv else 2)
-        _one(spec, steps, warmup, with_flops="--no_flops" not in argv)
+        _one(spec, steps, warmup, with_flops="--no_flops" not in argv,
+             skip_pl="--skip_pl" in argv)
         return
     if "--extras" in argv:
         _extras(argv[argv.index("--extras") + 1])

@@ -22,7 +22,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture()
-def bench(monkeypatch):
+def bench(monkeypatch, tmp_path):
     """A fresh bench module instance per test (module state: BUDGET_S,
     _current_child)."""
     spec = importlib.util.spec_from_file_location(
@@ -31,6 +31,9 @@ def bench(monkeypatch):
     spec.loader.exec_module(mod)
     # Tests never want the real 4-minute runtime-probe loop.
     monkeypatch.setattr(mod, "_wait_for_runtime", lambda max_wait_s: None)
+    # ... nor to touch the repo's real last-good diagnostics file.
+    monkeypatch.setattr(mod, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
     return mod
 
 
@@ -245,3 +248,81 @@ def test_sigterm_prints_best_so_far_and_exits_zero():
     assert len(lines) == 1
     parsed = json.loads(lines[0])
     assert parsed["metric"] == "train_seqs_per_sec_per_chip"
+
+
+def test_fallbacks_lead_with_prewarmed_b4_and_skip_pl(bench, monkeypatch,
+                                                      capsys):
+    """Degraded path: the first fallback is the prewarmed b4 config (a cold
+    b8 compile cannot fit the remaining budget) and fallback children run
+    with --skip_pl so their fixed cost stays minimal."""
+    assert bench.FALLBACKS[0] == ("bfloat16", 4, True)
+    seen = []
+
+    def fake_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        seen.append(tuple(args))
+        spec = args[args.index("--one") + 1]
+        cand = bench._parse_candidate(spec)
+        if cand == bench.KNOWN_GOOD:
+            return 1, {"ok": False, "error": "degraded"}, ""
+        return 0, _fake_result(6.7, batch=cand[1]), ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 6.7 and out["batch"] == 4
+    fallback_args = seen[1]
+    assert "--skip_pl" in fallback_args
+    assert "--skip_pl" not in seen[0]  # KNOWN_GOOD runs the full step
+
+
+def test_total_failure_reports_last_good_diagnostics(bench, monkeypatch,
+                                                     capsys):
+    """A run that measured something persists it; a later total-failure run
+    surfaces it as diagnostics while keeping value 0.0."""
+    def first_run_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        spec = args[args.index("--one") + 1]
+        cand = bench._parse_candidate(spec)
+        if cand == bench.KNOWN_GOOD:
+            return 0, _fake_result(16.1), ""
+        return 1, {"ok": False, "error": "x"}, ""
+
+    monkeypatch.setattr(bench, "_run_child", first_run_child)
+    bench.run_bench(steps=4, warmup=1)
+    _last_json_line(capsys)  # drain
+
+    bench2 = bench  # same module instance: fresh _Bench inside run_bench
+    monkeypatch.setattr(bench2, "_run_child",
+                        lambda args, t: (None, None, "wedged"))
+    bench2.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 0.0
+    lg = out["last_good_on_this_machine"]
+    assert lg["result"]["seqs_per_sec_per_chip"] == 16.1
+    assert "recorded_at" in lg
+
+
+def test_wait_for_runtime_caps_probe_attempts(monkeypatch):
+    """The probe loop gives up after 2 failed probes - budget belongs to
+    the measuring children, not to diagnostics."""
+    # A fresh module WITHOUT the fixture's _wait_for_runtime stub.
+    spec = importlib.util.spec_from_file_location(
+        "bench_probe_test", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    calls = []
+
+    class FakeProc:
+        returncode = 1
+
+    def fake_run(cmd, capture_output, timeout):
+        calls.append(timeout)
+        return FakeProc()
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    mod._wait_for_runtime(600.0)
+    assert len(calls) == 2
