@@ -53,8 +53,12 @@ import time
 # FLOPs than the batch gains; selective remat of just the >=128px blocks is
 # the lever for the reference's batch 24 (README.md:128).
 KNOWN_GOOD = ("bfloat16", 16, False)
-EXPLORE = (("bfloat16", 24, 128), ("bfloat16", 20, 128),
-           ("bfloat16", 20, False), ("bfloat16", 24, True))
+# Round-4 sweep verdicts (PERF.md "Batch / remat sweep"): b24/remat=128
+# OOMs at execution, b18/b20 selective-remat measured 11.4-12.4 — all worse
+# than KNOWN_GOOD's 16.14.  EXPLORE keeps only the two measured runners-up
+# (b20/no-remat 14.06, b24/full-remat 13.87 at the best MFU 0.671) so a
+# generous budget re-attests them instead of re-proving a known OOM.
+EXPLORE = (("bfloat16", 20, False), ("bfloat16", 24, True))
 # Fallback order is by FEASIBILITY on a degraded/cold runtime, not by
 # throughput: b4/full-remat is covered by `--prewarm` (cache-hot) and was
 # measured end-to-end at ~7 min wall on a slow runtime (round 4), so it goes
@@ -348,7 +352,16 @@ def prewarm() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    for cand in (KNOWN_GOOD,) + EXPLORE + (EMERGENCY,):
+    # Warm in RESCUE order, not throughput order: KNOWN_GOOD first (the
+    # number the driver should land), then the emergency + fallback ladder
+    # (so a prewarm cut short by a dying runtime still leaves the measuring
+    # run a cache-hot escape hatch), and EXPLORE last.
+    order, seen = [], set()
+    for cand in (KNOWN_GOOD, EMERGENCY) + FALLBACKS + EXPLORE:
+        if cand not in seen:
+            seen.add(cand)
+            order.append(cand)
+    for cand in order:
         dtype, batch, remat = cand
         t0 = time.perf_counter()
         try:
