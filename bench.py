@@ -72,6 +72,17 @@ EMERGENCY = ("bfloat16", 4, True)
 # assumes children are EXPENSIVE and probes are not free.
 LAST_GOOD_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
+# Tier outcomes recorded by --prewarm on THIS runtime (which main / PL
+# program tiers the remote compile helper still accepts, per candidate).
+# Failed compile attempts burn 2-4 min each and are never cached, so the
+# measuring child starts at the recorded tier instead of re-failing the
+# ladder from the top — the round-4 attestation run showed a fully
+# cache-hot b16 child exceeding 700 s purely on re-attempted PL compiles
+# the same-day prewarm had already seen rejected.  Hints are advisory:
+# the ladder still walks down if the hinted tier fails, and
+# BENCH_IGNORE_TIER_HINTS=1 disables them (fresh-runtime escape hatch).
+TIERS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_tiers.json")
 
 # Global wall-clock budget for the whole bench (watchdog).  Must stay below
 # whatever external timeout the driver wraps around `python bench.py` —
@@ -167,11 +178,19 @@ def _cost_flops(compiled) -> float:
 
 
 def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
-             with_flops: bool, skip_pl: bool = False):
+             with_flops: bool, skip_pl: bool = False,
+             budget_s: float | None = None, tier_hints: dict | None = None):
     import jax
 
     from multi_stylegan_tpu.models.config import TrainingConfig
 
+    t_start = time.perf_counter()
+
+    def _left() -> float:
+        return (budget_s - (time.perf_counter() - t_start)
+                if budget_s else float("inf"))
+
+    hints = tier_hints or {}
     state, step_fn, main, r1, pl, flags, data = _build(dtype, batch, remat)
     lazy = TrainingConfig().lazy_discriminator_regularization  # 16
     # Explicit timed compiles: with the persistent cache prewarmed, each of
@@ -181,11 +200,8 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     # executables are used directly so nothing recompiles at call time.
     compile_s = {}
     t_c = time.perf_counter()
-    main_mode = "fused"
-    try:
-        main_c = main.lower(state, data, flags).compile()
-        main_progs = [main_c]
-    except Exception:
+
+    def _compile_split():
         # Split-main tier: the fused program is the first casualty of the
         # degrading remote compile helper as batch grows; the same math
         # split at the D/G boundary compiles as two half-size programs
@@ -200,16 +216,42 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
             state, m_g = g_c(state, flags)
             return state, {**m_d, **m_g}
 
-        main_progs = [d_c, g_c]
+        return main_c, [d_c, g_c]
+
+    main_mode = "fused"
+    if hints.get("main") == "split":
+        # Prewarm on this runtime saw the fused program rejected; don't
+        # burn minutes re-failing it.
+        main_c, main_progs = _compile_split()
         main_mode = "split"
+    else:
+        try:
+            main_c = main.lower(state, data, flags).compile()
+            main_progs = [main_c]
+        except Exception:
+            main_c, main_progs = _compile_split()
+            main_mode = "split"
     compile_s["main"] = round(time.perf_counter() - t_c, 1)
     t_c = time.perf_counter()
     r1_c = r1.lower(state, data).compile()
     compile_s["r1"] = round(time.perf_counter() - t_c, 1)
+    pl_skip_reason = "the fast-fallback policy" if skip_pl else None
+    if not skip_pl and hints.get("pl") == "excluded":
+        skip_pl = True
+        pl_skip_reason = ("the prewarm tier record (no PL tier compiled "
+                          "on this runtime)")
+    if not skip_pl and _left() < 150.0:
+        # Not enough child budget left for even one cache-hot PL compile:
+        # skipping (with the proxy charge below) beats being killed by the
+        # parent with nothing to report.
+        skip_pl = True
+        pl_skip_reason = f"the child budget ({int(_left())}s left)"
     if not skip_pl:
         t_c = time.perf_counter()
-        pl.prepare(state)  # tiered compile, no execution
+        pl.prepare(state, start_tier=hints.get("pl"))
         compile_s["pl"] = round(time.perf_counter() - t_c, 1)
+    if _left() < 90.0:
+        steps = max(4, min(steps, 6))  # budget-squeezed: fewer timed steps
     flops = None
     if with_flops:
         try:
@@ -247,6 +289,7 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         "batch": batch,
         "dtype": dtype,
         "remat": remat,
+        "steps": steps,
         "seqs_per_sec_per_chip": batch * steps / dt / n_chips,
         "step_ms": dt / steps * 1e3,
         "n_chips": n_chips,
@@ -255,6 +298,8 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         "pl_mode": "skipped" if skip_pl else pl.mode["m"],
         "main_mode": main_mode,
     }
+    if tier_hints:
+        result["tier_hints"] = tier_hints
     if skip_pl or pl.mode["m"] == "excluded":
         # The degraded compile helper could not build any second-order G
         # program (fused, split, or chunked): the loop ran without
@@ -272,7 +317,7 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
         result["seqs_per_sec_per_chip"] = batch * steps / dt_adj / n_chips
         result["step_ms"] = dt_adj / steps * 1e3
         result["path_length_note"] = (
-            "pl skipped by the fast-fallback policy; charged 2x r1 "
+            f"pl skipped by {pl_skip_reason}; charged 2x r1 "
             f"({r1_ms:.0f} ms) per 16 steps as a conservative proxy; "
             "reported MFU/flops exclude PL"
         ) if skip_pl else (
@@ -344,6 +389,53 @@ def _worker_health() -> dict:
     return {"worker_matmul_tflops": round(2 * n**3 / dt / 1e12, 1)}
 
 
+def _tier_record(outcomes: dict) -> dict:
+    """Map prewarm per-program compile verdicts to a {main, pl} tier hint
+    (the FIRST ladder tier whose programs all compiled)."""
+    rec = {}
+    if outcomes.get("main_fused"):
+        rec["main"] = "fused"
+    elif outcomes.get("main_split"):
+        rec["main"] = "split"
+    if outcomes.get("pl_fused"):
+        rec["pl"] = "fused"
+    elif outcomes.get("pl_apply") and outcomes.get("pl_grads"):
+        rec["pl"] = "split"
+    elif outcomes.get("pl_apply") and outcomes.get("pl_chunk2"):
+        rec["pl"] = "chunked2"
+    elif outcomes.get("pl_apply") and outcomes.get("pl_chunk3"):
+        rec["pl"] = "chunked3"
+    else:
+        rec["pl"] = "excluded"
+    return rec
+
+
+def _record_tiers(cand, outcomes: dict) -> None:
+    """Persist a candidate's tier record after each prewarm entry, so even a
+    prewarm cut short by a dying runtime leaves hints for what it covered."""
+    key = f"{cand[0]}:{cand[1]}:{cand[2]}"
+    try:
+        tiers = json.load(open(TIERS_PATH))
+    except (OSError, ValueError):
+        tiers = {}
+    tiers[key] = _tier_record(outcomes)
+    tiers["recorded_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    try:
+        json.dump(tiers, open(TIERS_PATH, "w"))
+    except OSError:
+        pass
+
+
+def _load_tier_hints(spec: str):
+    """Tier hints for a candidate spec, or None (no file / disabled)."""
+    if os.environ.get("BENCH_IGNORE_TIER_HINTS"):
+        return None
+    try:
+        return json.load(open(TIERS_PATH)).get(spec)
+    except (OSError, ValueError):
+        return None
+
+
 def prewarm() -> None:
     """Compile (don't execute) the primary candidates into the persistent
     cache - including BOTH path-length variants (fused and grads/apply
@@ -364,11 +456,13 @@ def prewarm() -> None:
     for cand in order:
         dtype, batch, remat = cand
         t0 = time.perf_counter()
+        outcomes = {}  # per-program compile verdicts -> tier record
         try:
             state, step_fn, main, r1, pl, flags, data = _build(
                 dtype, batch, remat)
             try:
                 main.lower(state, data, flags).compile()
+                outcomes["main_fused"] = True
             except Exception as exc:
                 print(f"prewarm FAILED {cand} main(fused): "
                       f"{type(exc).__name__}", flush=True)
@@ -380,6 +474,7 @@ def prewarm() -> None:
                         donate_argnums=(0,)).lower(
                     state, batch, flags).compile()
                 print(f"prewarm ok {cand} main(split)", flush=True)
+                outcomes["main_split"] = True
             r1.lower(state, data).compile()
             fused_jit, grads_jit, apply_jit = pl.jits
             for name, compile_one in (
@@ -398,11 +493,13 @@ def prewarm() -> None:
                 try:
                     compile_one()
                     print(f"prewarm ok {cand} {name}", flush=True)
+                    outcomes[name] = True
                 except Exception as exc:
                     print(f"prewarm FAILED {cand} {name}: "
                           f"{type(exc).__name__}", flush=True)
             print(f"prewarm ok {cand}: {time.perf_counter() - t0:.0f}s",
                   flush=True)
+            _record_tiers(cand, outcomes)
         except Exception as exc:
             print(f"prewarm FAILED {cand}: {type(exc).__name__}: "
                   f"{str(exc)[:200]}", flush=True)
@@ -427,7 +524,7 @@ def _parse_candidate(spec: str):
 
 
 def _one(spec: str, steps: int, warmup: int, with_flops: bool,
-         skip_pl: bool = False) -> None:
+         skip_pl: bool = False, budget_s: float | None = None) -> None:
     """Measure a single candidate in THIS process; print one JSON line.
 
     Never raises: failures become {"ok": false, "error": ...} so the parent
@@ -438,7 +535,8 @@ def _one(spec: str, steps: int, warmup: int, with_flops: bool,
     dtype, batch, remat = _parse_candidate(spec)
     try:
         r = _measure(dtype, batch, remat, steps, warmup, with_flops,
-                     skip_pl=skip_pl)
+                     skip_pl=skip_pl, budget_s=budget_s,
+                     tier_hints=_load_tier_hints(spec))
         r["ok"] = True
     except Exception as exc:
         r = {"ok": False,
@@ -551,7 +649,11 @@ class _Bench:
         tag = f"{dtype}/b{batch}/remat={remat}"
         t_a = time.monotonic()
         args = ["--one", f"{dtype}:{batch}:{remat}",
-                "--steps", str(self.steps), "--warmup", str(self.warmup)]
+                "--steps", str(self.steps), "--warmup", str(self.warmup),
+                # Child self-truncates (skips PL with a proxy charge, trims
+                # timed steps) before the parent's kill fires: a truncated
+                # number beats a TIMEOUT attempt with nothing.
+                "--budget_s", str(max(60, int(timeout_s - 45)))]
         if not with_flops:
             args.append("--no_flops")
         if skip_pl:
@@ -714,8 +816,10 @@ def main() -> None:
         steps = int(argv[argv.index("--steps") + 1]) if "--steps" in argv else 16
         warmup = (int(argv[argv.index("--warmup") + 1])
                   if "--warmup" in argv else 2)
+        budget = (float(argv[argv.index("--budget_s") + 1])
+                  if "--budget_s" in argv else None)
         _one(spec, steps, warmup, with_flops="--no_flops" not in argv,
-             skip_pl="--skip_pl" in argv)
+             skip_pl="--skip_pl" in argv, budget_s=budget)
         return
     if "--extras" in argv:
         _extras(argv[argv.index("--extras") + 1])

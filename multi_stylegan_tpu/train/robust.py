@@ -46,9 +46,15 @@ def make_robust_path_length(
 
     * ``mode['m']`` - active tier (``'fused'`` / ``'split'`` / ``'excluded'``,
       ``None`` before the first call);
-    * ``prepare(state)`` - compile the tiers without executing anything
-      (``state`` may be abstract, e.g. ``jax.eval_shape`` output) - used to
-      prewarm the persistent compilation cache;
+    * ``prepare(state, start_tier=None)`` - compile the tiers without
+      executing anything (``state`` may be abstract, e.g. ``jax.eval_shape``
+      output) - used to prewarm the persistent compilation cache.
+      ``start_tier`` (a tier name) skips the ladder entries ABOVE it: on the
+      degrading remote compile helper a failed compile attempt burns minutes
+      and is never cached, so a caller that already knows (e.g. from a
+      prewarm run on the same runtime) that the fused/grads programs are
+      rejected starts directly at the tier that works.  The ladder still
+      walks DOWN from there if the hinted tier fails too;
     * ``flops()`` - XLA cost-analysis fp-ops of the active tier's programs
       per invocation, or ``None`` when excluded/unprepared (bench MFU
       accounting must know whether path-length is included).
@@ -56,19 +62,23 @@ def make_robust_path_length(
     mode = {"m": None}
     exe = {}
 
-    def prepare(state) -> str:
+    def prepare(state, start_tier=None) -> str:
         """Compile (tiered, no execution); idempotent."""
         if mode["m"] is not None:
             return mode["m"]
-        try:
-            exe["fused"] = fused_jit.lower(state).compile()
-            mode["m"] = "fused"
-            return mode["m"]
-        except Exception:
-            pass
-        for name, g_jit in (("split", grads_jit),) + tuple(
+        grads_ladder = (("split", grads_jit),) + tuple(
             (f"chunked{i + 2}", cj) for i, cj in enumerate(chunked_jits)
-        ):
+        )
+        names = ("fused",) + tuple(n for n, _ in grads_ladder)
+        start = names.index(start_tier) if start_tier in names else 0
+        if start == 0:
+            try:
+                exe["fused"] = fused_jit.lower(state).compile()
+                mode["m"] = "fused"
+                return mode["m"]
+            except Exception:
+                pass
+        for name, g_jit in grads_ladder[max(0, start - 1):]:
             try:
                 exe["grads"] = g_jit.lower(state).compile()
                 # abstract grads/new_mean for the apply lowering (no execution)

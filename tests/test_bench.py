@@ -305,6 +305,61 @@ def test_total_failure_reports_last_good_diagnostics(bench, monkeypatch,
     assert "recorded_at" in lg
 
 
+def test_tier_record_mapping(bench):
+    """Prewarm per-program verdicts map to the FIRST working ladder tier."""
+    assert bench._tier_record({"main_fused": True, "pl_fused": True}) == {
+        "main": "fused", "pl": "fused"}
+    assert bench._tier_record(
+        {"main_split": True, "pl_apply": True, "pl_chunk3": True}
+    ) == {"main": "split", "pl": "chunked3"}
+    assert bench._tier_record(
+        {"main_fused": True, "pl_apply": True, "pl_grads": True,
+         "pl_chunk2": True}) == {"main": "fused", "pl": "split"}
+    # The apply program is required by every grads-side tier.
+    assert bench._tier_record({"main_fused": True, "pl_grads": True}) == {
+        "main": "fused", "pl": "excluded"}
+    assert bench._tier_record({})["pl"] == "excluded"
+
+
+def test_record_and_load_tier_hints(bench, monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "TIERS_PATH", str(tmp_path / "tiers.json"))
+    monkeypatch.delenv("BENCH_IGNORE_TIER_HINTS", raising=False)
+    bench._record_tiers(("bfloat16", 16, False),
+                        {"main_fused": True, "pl_apply": True,
+                         "pl_chunk3": True})
+    bench._record_tiers(("bfloat16", 24, True),
+                        {"main_split": True})
+    assert bench._load_tier_hints("bfloat16:16:False") == {
+        "main": "fused", "pl": "chunked3"}
+    assert bench._load_tier_hints("bfloat16:24:True") == {
+        "main": "split", "pl": "excluded"}
+    assert bench._load_tier_hints("float32:16:True") is None
+    monkeypatch.setenv("BENCH_IGNORE_TIER_HINTS", "1")
+    assert bench._load_tier_hints("bfloat16:16:False") is None
+
+
+def test_attempt_passes_child_budget(bench, monkeypatch, capsys):
+    """Every measuring child gets --budget_s ~= its kill timeout minus a
+    margin, so it self-truncates (skip PL + proxy) instead of dying with
+    nothing — the round-4 attestation failure mode."""
+    seen = []
+
+    def fake_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        seen.append((list(args), timeout_s))
+        return 0, _fake_result(16.1), ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    bench.run_bench(steps=4, warmup=1)
+    _last_json_line(capsys)
+    assert seen
+    for args, timeout_s in seen:
+        budget = float(args[args.index("--budget_s") + 1])
+        assert budget == max(60, int(timeout_s - 45))
+        assert budget < timeout_s
+
+
 def test_wait_for_runtime_caps_probe_attempts(monkeypatch):
     """The probe loop gives up after 2 failed probes - budget belongs to
     the measuring children, not to diagnostics."""

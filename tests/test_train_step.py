@@ -278,6 +278,59 @@ def test_robust_path_length_chunked_tier():
     assert pl2.mode["m"] == "excluded" and fired == [1]
 
 
+def test_robust_path_length_start_tier_hint():
+    """``prepare(start_tier=...)`` skips the ladder ABOVE the hinted tier —
+    on the degraded remote compile helper every failed attempt burns minutes
+    and is never cached (bench.py tier hints) — and still walks DOWN when
+    the hinted tier fails too."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
+
+    state = jnp.arange(4.0)
+    attempts = []
+
+    def tracking(name, fn=None):
+        def wrapped(*a):
+            attempts.append(name)
+            if fn is None:
+                raise RuntimeError("compile fail")
+            return fn(*a)
+        return jax.jit(wrapped)
+
+    grads_out = lambda s: (2.0 * s, jnp.float32(4.0), jnp.float32(5.0),
+                           jnp.float32(6.0))
+    apply_fn = tracking("apply", lambda s, g, m: s + g)
+
+    # Hint "chunked2": fused and split never attempted.
+    pl = make_robust_path_length(
+        tracking("fused", lambda s: (s, jnp.float32(1.0), jnp.float32(1.0))),
+        tracking("grads", grads_out), apply_fn,
+        chunked_jits=(tracking("chunk2", grads_out),
+                      tracking("chunk3", grads_out)))
+    assert pl.prepare(state, start_tier="chunked2") == "chunked2"
+    assert "fused" not in attempts and "grads" not in attempts
+
+    # Hint "split" whose grads program fails: walks DOWN to chunked2,
+    # still never attempts fused.
+    attempts.clear()
+    pl2 = make_robust_path_length(
+        tracking("fused", lambda s: (s, jnp.float32(1.0), jnp.float32(1.0))),
+        tracking("grads"), apply_fn,
+        chunked_jits=(tracking("chunk2", grads_out),))
+    assert pl2.prepare(state, start_tier="split") == "chunked2"
+    assert "fused" not in attempts and "grads" in attempts
+
+    # Unknown hint: full ladder from the top.
+    attempts.clear()
+    pl3 = make_robust_path_length(
+        tracking("fused", lambda s: (s, jnp.float32(1.0), jnp.float32(1.0))),
+        tracking("grads", grads_out), apply_fn, chunked_jits=())
+    assert pl3.prepare(state, start_tier="not-a-tier") == "fused"
+    assert attempts[0] == "fused"
+
+
 def test_nonfinite_update_guard():
     """A NaN gradient must be skipped, not applied (optax apply_if_finite):
     one bad second-order step poisoned the whole state in the round-2
