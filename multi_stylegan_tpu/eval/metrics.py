@@ -177,8 +177,11 @@ class FID(_MetricBase):
         count = 0
         for images in batches:
             images = _as_local(images)
-            rng, kt = jax.random.split(rng)
-            for d in self._domains:
+            rng, kd = jax.random.split(rng)
+            # Independent timestep draw per domain, mirroring the reference's
+            # separate torch.randint per channel (validation_metrics.py:246-256).
+            dkeys = jax.random.split(kd, len(self._domains))
+            for d, kt in zip(self._domains, dkeys):
                 frames = _random_timestep_rgb(images, d, kt)
                 acts[d].append(np.asarray(jax.device_get(self._features(frames))))
             count += images.shape[0]
@@ -235,8 +238,10 @@ class IS(_MetricBase):
         rng = jax.random.key(self.seed + 2)
         probs = {d: [] for d in self._domains}
         for images in self._fake_batches(generator_apply, rng):
-            rng, kt = jax.random.split(rng)
-            for d in self._domains:
+            rng, kd = jax.random.split(rng)
+            # Independent timestep draw per domain (validation_metrics.py:246-256).
+            dkeys = jax.random.split(kd, len(self._domains))
+            for d, kt in zip(self._domains, dkeys):
                 frames = _random_timestep_rgb(_as_local(images), d, kt)
                 probs[d].append(np.asarray(jax.device_get(self._probs(frames))))
         scores = []

@@ -154,6 +154,43 @@ def test_metrics_require_weights():
         IS()
 
 
+def test_fid_timestep_draw_independent_per_domain(monkeypatch, rng):
+    """The reference draws an independent random timestep PER DOMAIN per batch
+    (validation_metrics.py:246-256: separate torch.randint for bf/gfp/rfp).
+    Assert FID._collect feeds a distinct key to each domain and that the drawn
+    timesteps differ across domains in at least one batch under a fixed key."""
+    from multi_stylegan_tpu.eval import metrics as M
+
+    drawn = []  # (batch_index, domain, t)
+    real_fn = M._random_timestep_rgb
+
+    def recording(images, domain, key):
+        t = int(jax.random.randint(key, (), 0, images.shape[2]))
+        drawn.append((domain, t, jax.random.key_data(key).tolist()))
+        return real_fn(images, domain, key)
+
+    monkeypatch.setattr(M, "_random_timestep_rgb", recording)
+
+    fid = FID.__new__(FID)
+    M._MetricBase.__init__(fid, batch_size=2, data_samples=16, no_rfp=True)
+    fid._features = lambda frames: jnp.zeros((frames.shape[0], 8))
+
+    batches = (jnp.asarray(rng.uniform(size=(2, 2, 3, 8, 8)).astype(np.float32))
+               for _ in range(8))
+    fid._collect(batches, jax.random.key(0))
+
+    per_domain = {0: [], 1: []}
+    keys = {0: [], 1: []}
+    for d, t, k in drawn:
+        per_domain[d].append(t)
+        keys[d].append(tuple(k))
+    assert len(per_domain[0]) == len(per_domain[1]) == 8
+    # distinct keys per domain in every batch
+    assert all(k0 != k1 for k0, k1 in zip(keys[0], keys[1]))
+    # and the draws actually differ somewhere (P[all equal] = (1/3)^8)
+    assert per_domain[0] != per_domain[1]
+
+
 @pytest.mark.slow
 def test_metric_pipeline_with_random_weights():
     """Full FID/FVD/IS plumbing on tiny shapes: fake generator + tiny
