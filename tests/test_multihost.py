@@ -30,23 +30,25 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, extra_args=(), timeout=900):
+def _run_workers(tmp_path, extra_args=(), timeout=900, nproc=2,
+                 devices_per_proc=2):
     port = _free_port()
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # CPU workers: keep the axon plugin out
     env.update({
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "XLA_FLAGS": (f"--xla_force_host_platform_device_count="
+                      f"{devices_per_proc}"),
     })
-    outs = [tmp_path / f"w{i}.json" for i in range(2)]
+    outs = [tmp_path / f"w{i}.json" for i in range(nproc)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, "--process_id", str(i),
-             "--num_processes", "2", "--port", str(port),
+             "--num_processes", str(nproc), "--port", str(port),
              "--out", str(outs[i]), *extra_args],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=REPO)
-        for i in range(2)
+        for i in range(nproc)
     ]
     logs = []
     for p in procs:
@@ -61,9 +63,9 @@ def _run_workers(tmp_path, extra_args=(), timeout=900):
 
     results = [json.loads(o.read_text()) for o in outs]
     for r in results:
-        assert r["process_count"] == 2
-        assert r["global_devices"] == 4
-        assert r["local_devices"] == 2
+        assert r["process_count"] == nproc
+        assert r["global_devices"] == nproc * devices_per_proc
+        assert r["local_devices"] == devices_per_proc
     return results
 
 
@@ -185,10 +187,10 @@ def test_two_process_validation_matches_single_process(tmp_path):
     from multi_stylegan_tpu.eval.metrics import FID, FVD
 
     reals, fake_gen = build_validation_setup()
-    fid = FID(allow_random_weights=True, batch_size=4, data_samples=8)
+    fid = FID(allow_random_weights=True, batch_size=4, data_samples=12)
     ref_fid = fid(generator_apply=fake_gen, dataset=reals)
     np.testing.assert_allclose(results[0]["fid"], ref_fid, rtol=2e-3)
-    fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=8)
+    fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=12)
     ref_fvd = fvd(generator_apply=fake_gen, dataset=reals)
     np.testing.assert_allclose(results[0]["fvd"], ref_fvd, rtol=2e-3)
 
@@ -221,3 +223,63 @@ def test_two_process_tp_step_matches_single_process(tmp_path):
     for g, v in checksums(s1).items():
         np.testing.assert_allclose(mp["checksums"][g], v, rtol=2e-3,
                                    err_msg=g)
+
+
+@pytest.mark.slow
+def test_four_process_step_matches_single_process(tmp_path):
+    """Pod-slice-shaped topology (VERDICT r4): 4 coordinated processes with
+    2 devices each.  Gloo clique formation, process-major per_host_batch
+    assembly (checked bit-exactly inside each worker), and the
+    all-branches-on step must be process-count-invariant: every controller
+    reports the identical replicated result, and it matches the
+    single-process program."""
+    results = _run_workers(tmp_path, nproc=4, timeout=1500)
+
+    for other in results[1:]:
+        for k, v in results[0]["metrics"].items():
+            np.testing.assert_allclose(v, other["metrics"][k], rtol=1e-6,
+                                       err_msg=k)
+        for g, v in results[0]["checksums"].items():
+            np.testing.assert_allclose(v, other["checksums"][g], rtol=1e-6,
+                                       err_msg=g)
+
+    from tools.mp_train_worker import build_setup, checksums
+
+    import jax
+
+    state0, step_fn, batch, flags = build_setup()
+    s1, m1 = jax.jit(step_fn)(state0, batch, flags)
+    mp = results[0]
+    for k, v in m1.items():
+        np.testing.assert_allclose(mp["metrics"][k], float(v), rtol=2e-3,
+                                   atol=2e-5, err_msg=k)
+    for g, v in checksums(s1).items():
+        np.testing.assert_allclose(mp["checksums"][g], v, rtol=2e-3,
+                                   err_msg=g)
+    np.testing.assert_allclose(mp["ada_p"], float(s1.ada.p), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_four_process_validation_matches_single_process(tmp_path):
+    """The validation collection path (_as_local/_to_host gather of
+    non-addressable shards) at 4 processes: per = batch/4 = 1 sample per
+    host, the smallest legal slice."""
+    results = _run_workers(tmp_path, extra_args=("--validation",),
+                           nproc=4, timeout=1500)
+    for other in results[1:]:
+        np.testing.assert_allclose(results[0]["fid"], other["fid"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(results[0]["fvd"], other["fvd"],
+                                   rtol=1e-5)
+
+    from tools.mp_train_worker import build_validation_setup
+
+    from multi_stylegan_tpu.eval.metrics import FID, FVD
+
+    reals, fake_gen = build_validation_setup()
+    fid = FID(allow_random_weights=True, batch_size=4, data_samples=12)
+    ref_fid = fid(generator_apply=fake_gen, dataset=reals)
+    np.testing.assert_allclose(results[0]["fid"], ref_fid, rtol=2e-3)
+    fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=12)
+    ref_fvd = fvd(generator_apply=fake_gen, dataset=reals)
+    np.testing.assert_allclose(results[0]["fvd"], ref_fvd, rtol=2e-3)

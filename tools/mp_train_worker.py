@@ -71,13 +71,18 @@ def build_validation_setup():
 
     The generator stand-in is a pure function of z (fixed projection), so
     every process regenerates identical fake batches from the metric's
-    seeded ``_fake_batches`` stream."""
+    seeded ``_fake_batches`` stream.
+
+    Real batches are 8 sequences so the global batch divides the mesh's
+    data axis at every tested topology (2 procs x 2 devices and 4 x 2 -
+    the 4-process run flushed out exactly this divisibility assumption,
+    VERDICT r4 item 5)."""
     import jax
     import jax.numpy as jnp
 
     res = 32
     reals = [
-        jax.random.uniform(jax.random.key(10 + i), (4, 2, 3, res, res))
+        jax.random.uniform(jax.random.key(10 + i), (8, 2, 3, res, res))
         for i in range(2)
     ]
     proj = jax.random.normal(
@@ -171,9 +176,11 @@ def main() -> None:
         assert not global_batches[0].is_fully_addressable, (
             "test precondition: batches must have non-addressable shards"
         )
-        fid = FID(allow_random_weights=True, batch_size=4, data_samples=8)
+        # data_samples=12 spans both real batches, so the multi-batch
+        # collection loop runs over non-addressable shards.
+        fid = FID(allow_random_weights=True, batch_size=4, data_samples=12)
         fid_scores = fid(generator_apply=fake_gen, dataset=global_batches)
-        fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=8)
+        fvd = FVD(allow_random_weights=True, batch_size=4, data_samples=12)
         fvd_scores = fvd(generator_apply=fake_gen, dataset=global_batches)
         result = {
             "process_id": args.process_id,
