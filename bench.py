@@ -221,9 +221,16 @@ def _measure(dtype: str, batch: int, remat: bool, steps: int, warmup: int,
     main_mode = "fused"
     if hints.get("main") == "split":
         # Prewarm on this runtime saw the fused program rejected; don't
-        # burn minutes re-failing it.
-        main_c, main_progs = _compile_split()
-        main_mode = "split"
+        # burn minutes re-failing it.  The hint is still advisory: if the
+        # split compile ALSO fails (stale hint, recovered runtime), fall
+        # back to attempting the fused program rather than hard-failing
+        # (ADVICE r4).
+        try:
+            main_c, main_progs = _compile_split()
+            main_mode = "split"
+        except Exception:
+            main_c = main.lower(state, data, flags).compile()
+            main_progs = [main_c]
     else:
         try:
             main_c = main.lower(state, data, flags).compile()
@@ -426,14 +433,37 @@ def _record_tiers(cand, outcomes: dict) -> None:
         pass
 
 
+TIER_HINT_MAX_AGE_S = 6 * 3600.0
+
+
 def _load_tier_hints(spec: str):
-    """Tier hints for a candidate spec, or None (no file / disabled)."""
+    """Tier hints for a candidate spec, or None (no file / disabled).
+
+    A ``pl: "excluded"`` verdict pins every later run to the lower-fidelity
+    proxy-charged number, so it is only trusted while fresh: past
+    TIER_HINT_MAX_AGE_S the exclusion is dropped and the PL tier ladder
+    re-attempts normally (ADVICE r4 - one bad prewarm must not poison the
+    file forever)."""
     if os.environ.get("BENCH_IGNORE_TIER_HINTS"):
         return None
     try:
-        return json.load(open(TIERS_PATH)).get(spec)
+        tiers = json.load(open(TIERS_PATH))
     except (OSError, ValueError):
         return None
+    hint = tiers.get(spec)
+    if hint and hint.get("pl") == "excluded":
+        stale = True
+        rec = tiers.get("recorded_at")
+        if rec:
+            try:
+                age = time.time() - time.mktime(
+                    time.strptime(rec, "%Y-%m-%d %H:%M:%S"))
+                stale = age > TIER_HINT_MAX_AGE_S
+            except ValueError:
+                pass
+        if stale:
+            hint = {k: v for k, v in hint.items() if k != "pl"}
+    return hint
 
 
 def prewarm() -> None:
@@ -653,7 +683,13 @@ class _Bench:
                 # Child self-truncates (skips PL with a proxy charge, trims
                 # timed steps) before the parent's kill fires: a truncated
                 # number beats a TIMEOUT attempt with nothing.
-                "--budget_s", str(max(60, int(timeout_s - 45)))]
+                # Clamped to the kill timeout: the 60 s floor must never
+                # exceed what the parent will actually allow, or the child's
+                # self-truncation margins can't fire before the kill
+                # (ADVICE r4).
+                "--budget_s",
+                str(max(1, min(int(timeout_s - 15),
+                               max(60, int(timeout_s - 45)))))]
         if not with_flops:
             args.append("--no_flops")
         if skip_pl:

@@ -80,12 +80,13 @@ class EqualizedConv2d(nn.Module):
         w = self.param("weight", normal_init, (kh, kw, cin, self.features), jnp.float32)
         scale = math.sqrt(2.0) / math.sqrt(cin * kh * kw)
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
+        from multi_stylegan_tpu.ops.conv_grad import conv2d
+
+        y = conv2d(
             x,
             (w * scale).astype(dtype),
-            window_strides=(sh, sw),
+            strides=(sh, sw),
             padding=((ph, ph), (pw, pw)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)

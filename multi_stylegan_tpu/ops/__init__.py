@@ -18,3 +18,8 @@ from multi_stylegan_tpu.ops.modulated_conv import (  # noqa: F401
     modulated_conv2d,
     modulated_conv_transpose2d,
 )
+from multi_stylegan_tpu.ops.conv_grad import (  # noqa: F401
+    conv2d,
+    get_conv_impl,
+    set_conv_impl,
+)

@@ -74,13 +74,14 @@ def modulated_conv2d(
       demodulate: apply per-sample output-channel demodulation.
       padding: lax conv padding; the models use SAME for k3 and VALID for k1.
     """
+    from multi_stylegan_tpu.ops.conv_grad import conv2d
+
     xs = _style_scale_input(x, style)
-    y = lax.conv_general_dilated(
+    y = conv2d(
         xs,
         (weight * jnp.asarray(scale, weight.dtype)).astype(x.dtype),
-        window_strides=(1, 1),
+        strides=(1, 1),
         padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )
     if demodulate:

@@ -381,3 +381,56 @@ def test_wait_for_runtime_caps_probe_attempts(monkeypatch):
     monkeypatch.setattr(mod.time, "sleep", lambda s: None)
     mod._wait_for_runtime(600.0)
     assert len(calls) == 2
+
+
+def test_stale_excluded_pl_hint_is_dropped(bench, monkeypatch, tmp_path):
+    """A pl='excluded' verdict is only trusted while fresh: past
+    TIER_HINT_MAX_AGE_S the exclusion is dropped so one bad prewarm cannot
+    pin every later bench run to the proxy-charged number (ADVICE r4)."""
+    import time as _time
+
+    monkeypatch.setattr(bench, "TIERS_PATH", str(tmp_path / "tiers.json"))
+    monkeypatch.delenv("BENCH_IGNORE_TIER_HINTS", raising=False)
+    bench._record_tiers(("bfloat16", 24, True), {"main_split": True})
+    # fresh: exclusion honored
+    assert bench._load_tier_hints("bfloat16:24:True")["pl"] == "excluded"
+    # age the record past the cutoff
+    tiers = json.load(open(bench.TIERS_PATH))
+    old = _time.strftime("%Y-%m-%d %H:%M:%S",
+                         _time.localtime(_time.time()
+                                         - bench.TIER_HINT_MAX_AGE_S - 60))
+    tiers["recorded_at"] = old
+    json.dump(tiers, open(bench.TIERS_PATH, "w"))
+    hint = bench._load_tier_hints("bfloat16:24:True")
+    assert "pl" not in hint and hint["main"] == "split"
+    # an unparseable timestamp counts as stale, not as fresh
+    tiers["recorded_at"] = "not-a-date"
+    json.dump(tiers, open(bench.TIERS_PATH, "w"))
+    assert "pl" not in bench._load_tier_hints("bfloat16:24:True")
+
+
+def test_emergency_child_budget_never_exceeds_timeout(bench, monkeypatch,
+                                                      capsys):
+    """With a tiny remaining budget the child's --budget_s must stay inside
+    the kill timeout so its self-truncation margins can fire (ADVICE r4)."""
+    seen = []
+
+    def fake_child(args, timeout_s):
+        if "--one" in args:
+            seen.append((list(args), timeout_s))
+            return 1, None, "boom"
+        return 0, {}, ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    b = bench._Bench(steps=4, warmup=1)
+    b.attempt(bench.EMERGENCY, 30.0)
+    b.attempt(bench.EMERGENCY, 100.0)
+    b.attempt(bench.EMERGENCY, 600.0)
+    assert len(seen) == 3
+    for args, timeout_s in seen:
+        budget = float(args[args.index("--budget_s") + 1])
+        assert budget <= timeout_s - 15
+    # the large-timeout case keeps the old floor semantics
+    args, timeout_s = seen[2]
+    assert float(args[args.index("--budget_s") + 1]) == max(
+        60, int(timeout_s - 45))

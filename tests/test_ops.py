@@ -288,3 +288,84 @@ def test_fused_leaky_relu_barrier_impl_matches_xla(rng):
 
     np.testing.assert_allclose(np.asarray(second("barrier")),
                                np.asarray(second("xla")), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "k,stride,pad",
+    [
+        (3, 1, 1),   # D ResNet conv / G modulated k3 (SAME)
+        (1, 1, 0),   # k1 heads / output blocks
+        (3, 2, 0),   # D encoder downscale (k3 s2 p0)
+        (4, 2, 1),   # non-model shape: even kernel + asymmetric output
+    ],
+)
+def test_conv2d_mmgrad_matches_xla_to_second_order(rng, k, stride, pad):
+    """impl='mmgrad' (explicit dot_general filter gradients, PERF.md fusion
+    wall) is numerically equivalent to the plain conv through grad-of-grad
+    for every conv shape class the models use."""
+    from multi_stylegan_tpu.ops.conv_grad import conv2d
+
+    x = jnp.array(rng.normal(size=(2, 9, 9, 5)).astype(np.float32))
+    w = jnp.array(rng.normal(size=(k, k, 5, 7)).astype(np.float32))
+
+    def f(impl):
+        def call(x, w):
+            y = conv2d(x, w, strides=stride, padding=((pad, pad), (pad, pad)),
+                       precision=lax.Precision.HIGHEST, impl=impl)
+            return jnp.sum(jnp.sin(y))
+        return call
+
+    y_mm = conv2d(x, w, strides=stride, padding=((pad, pad), (pad, pad)),
+                  precision=lax.Precision.HIGHEST, impl="mmgrad")
+    y_xla = conv2d(x, w, strides=stride, padding=((pad, pad), (pad, pad)),
+                   precision=lax.Precision.HIGHEST, impl="xla")
+    np.testing.assert_array_equal(np.asarray(y_mm), np.asarray(y_xla))
+
+    for argnums in (0, 1):
+        g_mm = jax.grad(f("mmgrad"), argnums)(x, w)
+        g_xla = jax.grad(f("xla"), argnums)(x, w)
+        np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_xla),
+                                   rtol=1e-5, atol=1e-5)
+
+    # reverse-over-reverse, the R1 / path-length pattern: inner grad w.r.t.
+    # the INPUT (loss.py:310-317), outer grad of its norm w.r.t. the WEIGHT
+    def second(impl):
+        def penalty(w):
+            g = jax.grad(lambda xx: f(impl)(xx, w))(x)
+            return jnp.sum(g * g)
+        return jax.grad(penalty)(w)
+
+    np.testing.assert_allclose(np.asarray(second("mmgrad")),
+                               np.asarray(second("xla")),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_mmgrad_same_padding_string(rng):
+    """String paddings are normalized to the same explicit pads XLA uses."""
+    from multi_stylegan_tpu.ops.conv_grad import conv2d
+
+    x = jnp.array(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    w = jnp.array(rng.normal(size=(3, 3, 4, 6)).astype(np.float32))
+
+    def loss(impl):
+        def call(w):
+            return jnp.sum(conv2d(x, w, padding="SAME",
+                                  precision=lax.Precision.HIGHEST, impl=impl) ** 2)
+        return call
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss("mmgrad"))(w)),
+        np.asarray(jax.grad(loss("xla"))(w)), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_impl_switch_round_trip():
+    from multi_stylegan_tpu.ops import get_conv_impl, set_conv_impl
+
+    assert get_conv_impl() == "xla"
+    try:
+        set_conv_impl("mmgrad")
+        assert get_conv_impl() == "mmgrad"
+        with pytest.raises(ValueError):
+            set_conv_impl("nope")
+    finally:
+        set_conv_impl("xla")

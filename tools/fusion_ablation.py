@@ -125,9 +125,19 @@ def main() -> None:
         float(r)
         return (time.perf_counter() - t0) / args.iters * 1e3, compile_s
 
+    from multi_stylegan_tpu.ops import conv_grad
+
     results = {}
     for impl in args.impls.split(","):
-        fused_act.set_default_impl(impl)
+        # 'mmgrad' selects the explicit-matmul conv filter gradient
+        # (ops/conv_grad.py) with the plain XLA fused-act; other names select
+        # the fused_act impl with the XLA conv path.
+        if impl == "mmgrad":
+            fused_act.set_default_impl("xla")
+            conv_grad.set_conv_impl("mmgrad")
+        else:
+            fused_act.set_default_impl(impl)
+            conv_grad.set_conv_impl("xla")
         d_param_grad, g_param_grad = make_probes()
         row = {}
         try:
@@ -155,6 +165,7 @@ def main() -> None:
                          for k, v in row.items()}
         print(json.dumps({impl: results[impl]}), flush=True)
     fused_act.set_default_impl("xla")
+    conv_grad.set_conv_impl("xla")
     print(json.dumps({"device": jax.devices()[0].device_kind,
                       "dtype": args.dtype, "batch": args.batch,
                       "results": results}))
