@@ -59,6 +59,12 @@ KNOWN_GOOD = ("bfloat16", 16, False)
 # (b20/no-remat 14.06, b24/full-remat 13.87 at the best MFU 0.671) so a
 # generous budget re-attests them instead of re-proving a known OOM.
 EXPLORE = (("bfloat16", 20, False), ("bfloat16", 24, True))
+# The second config of the PAIR child (see run_bench): the reference's
+# training regime, b24/full-remat (README.md:128; PERF.md round-4 sweep:
+# 13.87 seqs/s at the best measured MFU 0.671).  Measured in the SAME child
+# process as KNOWN_GOOD so the ~300 s device-init handshake + cache upload
+# is paid once — round 4's EXPLORE starved because each child pays it anew.
+PAIR_EXPLORE = ("bfloat16", 24, True)
 # Fallback order is by FEASIBILITY on a degraded/cold runtime, not by
 # throughput: b4/full-remat is covered by `--prewarm` (cache-hot) and was
 # measured end-to-end at ~7 min wall on a slow runtime (round 4), so it goes
@@ -574,6 +580,58 @@ def _one(spec: str, steps: int, warmup: int, with_flops: bool,
     print(json.dumps(r), flush=True)
 
 
+def _pair(specs, steps: int, warmup: int,
+          budget_s: float | None = None) -> None:
+    """Measure several candidates sequentially in THIS process, printing one
+    tagged JSON line per candidate as soon as it is measured.
+
+    Rationale (PERF.md "Bench delivery pipeline"): a child's wall is
+    dominated by the per-process device-init handshake + cache-blob upload
+    (~300 s even cache-hot), so two configs in one process cost barely more
+    than one.  The first result is on stdout before the second config runs —
+    a crash or parent kill during config 2 still leaves config 1 parseable.
+    """
+    import gc
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    t0 = time.perf_counter()
+    first_failed = False
+    for idx, spec in enumerate(specs):
+        left = (budget_s - (time.perf_counter() - t0)
+                if budget_s is not None else None)
+        if idx > 0:
+            if first_failed:
+                # A degraded runtime that refused the known-good config will
+                # not accept a harder one; leave the budget to the parent's
+                # fallback ladder.
+                print(json.dumps({
+                    "ok": False, "spec": spec,
+                    "error": "skipped: first pair config failed",
+                }), flush=True)
+                continue
+            if left is not None and left < 180.0:
+                print(json.dumps({
+                    "ok": False, "spec": spec,
+                    "error": f"pair budget exhausted ({int(left)}s left)",
+                }), flush=True)
+                continue
+            gc.collect()  # free the previous config's state before building
+        dtype, batch, remat = _parse_candidate(spec)
+        try:
+            r = _measure(dtype, batch, remat, steps, warmup, with_flops=True,
+                         budget_s=left, tier_hints=_load_tier_hints(spec))
+            r["ok"] = True
+        except Exception as exc:
+            r = {"ok": False,
+                 "error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+        if idx == 0 and not r.get("ok"):
+            first_failed = True
+        r["spec"] = spec
+        print(json.dumps(r), flush=True)
+
+
 def _extras(dtype: str) -> None:
     """Auxiliary numbers (EMA sampling throughput + worker-health roofline)
     in a bounded subprocess; print one JSON line."""
@@ -600,31 +658,47 @@ def _extras(dtype: str) -> None:
 _current_child = None  # kill target for the SIGTERM handler
 
 
-def _run_child(args: list[str], timeout_s: float):
-    """Run a bounded bench subprocess; return (rc, last JSON line or None,
-    stderr tail)."""
+def _parse_json_lines(out: str) -> list:
+    parsed = []
+    for ln in (out or "").splitlines():
+        if ln.startswith("{"):
+            try:
+                parsed.append(json.loads(ln))
+            except Exception:
+                pass
+    return parsed
+
+
+def _run_child_all(args: list[str], timeout_s: float):
+    """Run a bounded bench subprocess; return (rc, [parsed JSON lines],
+    stderr tail).  rc is None on timeout-kill, but any JSON lines the child
+    printed before dying are still parsed — a pair child killed during its
+    second config keeps its first result."""
     global _current_child
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)] + args,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     _current_child = proc
+    rc = None
     try:
         out, err = proc.communicate(timeout=max(1.0, timeout_s))
+        rc = proc.returncode
     except subprocess.TimeoutExpired:
         proc.kill()
         out, err = proc.communicate()
-        return None, None, (err or "")[-300:]
     finally:
         _current_child = None
-    lines = [ln for ln in (out or "").splitlines() if ln.startswith("{")]
-    parsed = None
-    if lines:
-        try:
-            parsed = json.loads(lines[-1])
-        except Exception:
-            parsed = None
-    return proc.returncode, parsed, (err or "")[-300:]
+    return rc, _parse_json_lines(out), (err or "")[-300:]
+
+
+def _run_child(args: list[str], timeout_s: float):
+    """Run a bounded bench subprocess; return (rc, last JSON line or None,
+    stderr tail)."""
+    rc, parsed, err = _run_child_all(args, timeout_s)
+    if rc is None:
+        return None, None, err
+    return rc, (parsed[-1] if parsed else None), err
 
 
 def _wait_for_runtime(max_wait_s: float) -> None:
@@ -703,6 +777,10 @@ class _Bench:
                          "child killed",
             })
             return False
+        return self._record(tag, rc, r, err, wall)
+
+    def _record(self, tag: str, rc, r, err: str, wall: float) -> bool:
+        """Append one attempt row for a parsed child result; track best."""
         if not r or not r.get("ok"):
             self.attempts.append({
                 "config": tag, "ok": False, "wall_s": wall,
@@ -725,6 +803,40 @@ class _Bench:
             except OSError:
                 pass
         return True
+
+    def attempt_pair(self, cands, timeout_s: float) -> bool:
+        """Measure several candidates in ONE child process (one device-init
+        handshake, PERF.md "Bench delivery pipeline").  Records one attempt
+        row per candidate; returns True iff the FIRST candidate (the
+        known-good headline config) measured ok."""
+        specs = [f"{d}:{b}:{r}" for d, b, r in cands]
+        tags = {s: f"{d}/b{b}/remat={r}" for s, (d, b, r)
+                in zip(specs, cands)}
+        t_a = time.monotonic()
+        args = ["--pair", ",".join(specs),
+                "--steps", str(self.steps), "--warmup", str(self.warmup),
+                "--budget_s",
+                str(max(1, min(int(timeout_s - 15),
+                               max(60, int(timeout_s - 45)))))]
+        rc, results, err = _run_child_all(args, timeout_s)
+        wall = round(time.monotonic() - t_a, 1)
+        by_spec = {r.get("spec"): r for r in results if isinstance(r, dict)}
+        first_ok = False
+        for i, spec in enumerate(specs):
+            r = by_spec.get(spec)
+            if r is None:
+                self.attempts.append({
+                    "config": tags[spec], "ok": False, "wall_s": wall,
+                    "error": ("TIMEOUT: pair child killed before this "
+                              f"config reported (after {int(timeout_s)}s)"
+                              if rc is None else
+                              f"pair child rc={rc} with no result: {err}"),
+                })
+                continue
+            ok = self._record(tags[spec], rc, r, err, wall)
+            if i == 0:
+                first_ok = ok
+        return first_ok
 
     def emit(self) -> None:
         if self.emitted:
@@ -801,13 +913,23 @@ def run_bench(steps: int = 16, warmup: int = 2) -> None:
         # a second stolen from the KNOWN_GOOD child, which needs ~8 min
         # wall even fully cache-hot on this runtime.
         _wait_for_runtime(min(120.0, max(0.0, bench.remaining() - RESERVE_S)))
-        # 1. KNOWN_GOOD first — keep its result printable at all times.
+        # 1. PAIR child: KNOWN_GOOD + the reference-regime b24 config in ONE
+        # process — the ~300 s per-child handshake is paid once, so the
+        # budget that round 4 could only spend on one measured config now
+        # delivers two (VERDICT r4 item 3).  KNOWN_GOOD runs first inside
+        # the child and its line is on stdout before b24 starts: the
+        # headline stays printable even if the child dies on config 2.
         # Child timeouts are always clamped by the remaining budget: the
         # internal deadline must hold even when a floor would exceed it.
-        if bench.attempt(KNOWN_GOOD,
-                         max(1.0, bench.remaining() - RESERVE_S)):
-            # Healthy runtime: spend leftover budget on larger configs.
+        if bench.attempt_pair((KNOWN_GOOD, PAIR_EXPLORE),
+                              max(1.0, bench.remaining() - RESERVE_S)):
+            # Healthy runtime: spend any leftover budget on the remaining
+            # EXPLORE configs (the pair already covered PAIR_EXPLORE).
+            measured = {a["config"] for a in bench.attempts if a.get("ok")}
             for cand in EXPLORE:
+                tag = f"{cand[0]}/b{cand[1]}/remat={cand[2]}"
+                if tag in measured:
+                    continue
                 if bench.remaining() < RESERVE_S + 180:
                     bench.attempts.append({
                         "config": "remaining EXPLORE", "ok": False,
@@ -856,6 +978,16 @@ def main() -> None:
                   if "--budget_s" in argv else None)
         _one(spec, steps, warmup, with_flops="--no_flops" not in argv,
              skip_pl="--skip_pl" in argv, budget_s=budget)
+        return
+    if "--pair" in argv:
+        i = argv.index("--pair")
+        specs = argv[i + 1].split(",")
+        steps = int(argv[argv.index("--steps") + 1]) if "--steps" in argv else 16
+        warmup = (int(argv[argv.index("--warmup") + 1])
+                  if "--warmup" in argv else 2)
+        budget = (float(argv[argv.index("--budget_s") + 1])
+                  if "--budget_s" in argv else None)
+        _pair(specs, steps, warmup, budget_s=budget)
         return
     if "--extras" in argv:
         _extras(argv[argv.index("--extras") + 1])

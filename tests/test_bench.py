@@ -34,6 +34,38 @@ def bench(monkeypatch, tmp_path):
     # ... nor to touch the repo's real last-good diagnostics file.
     monkeypatch.setattr(mod, "LAST_GOOD_PATH",
                         str(tmp_path / "last_good.json"))
+
+    # The PAIR child (one process, several configs) is emulated by routing
+    # each spec through the test's (monkeypatched) _run_child --one handler,
+    # mirroring _pair's semantics: remaining specs are skipped once the
+    # first config fails.  Tests keep stubbing the single subprocess
+    # boundary they always have.
+    real_run_child_all = mod._run_child_all
+
+    def pair_via_one(args, timeout_s):
+        if "--pair" not in args:
+            return real_run_child_all(args, timeout_s)
+        i = args.index("--pair")
+        specs = args[i + 1].split(",")
+        rest = args[i + 2:]
+        results = []
+        rc = 0
+        for j, spec in enumerate(specs):
+            if j > 0 and results and not results[0].get("ok"):
+                results.append({"ok": False, "spec": spec,
+                                "error": "skipped: first pair config failed"})
+                continue
+            rc1, r, err = mod._run_child(["--one", spec, *rest], timeout_s)
+            if rc1 is None:
+                return None, results, err
+            rc = rc1
+            if r is not None:
+                r = dict(r)
+                r["spec"] = spec
+                results.append(r)
+        return rc, results, ""
+
+    monkeypatch.setattr(mod, "_run_child_all", pair_via_one)
     return mod
 
 
@@ -225,6 +257,7 @@ def test_sigterm_prints_best_so_far_and_exits_zero():
         "    print('CHILD_STARTED', file=sys.stderr, flush=True)\n"
         "    time.sleep(3600)\n"
         "b._run_child = hang\n"
+        "b._run_child_all = hang\n"
         "b.run_bench(steps=4, warmup=1)\n"
     )
     env = dict(os.environ, BENCH_BUDGET_S="3600", BENCH_RESERVE_S="1",
@@ -434,3 +467,75 @@ def test_emergency_child_budget_never_exceeds_timeout(bench, monkeypatch,
     args, timeout_s = seen[2]
     assert float(args[args.index("--budget_s") + 1]) == max(
         60, int(timeout_s - 45))
+
+
+def test_pair_child_delivers_two_measured_attempts(bench, monkeypatch,
+                                                   capsys):
+    """The round-5 delivery contract (VERDICT r4 item 3): one pair child
+    measures KNOWN_GOOD + the reference-regime b24 config, so the attempts
+    record carries >= 2 ok entries without paying two device-init
+    handshakes."""
+    pair_calls = []
+
+    def fake_child_all(args, timeout_s):
+        if "--pair" not in args:
+            return 1, [], ""
+        pair_calls.append(list(args))
+        specs = args[args.index("--pair") + 1].split(",")
+        results = []
+        for spec in specs:
+            d, b, r = bench._parse_candidate(spec)
+            res = _fake_result(16.1 if b == 16 else 14.2, batch=b, dtype=d)
+            res["spec"] = spec
+            results.append(res)
+        return 0, results, ""
+
+    def fake_child(args, timeout_s):
+        if "--extras" in args:
+            return 0, {}, ""
+        spec = args[args.index("--one") + 1]
+        d, b, r = bench._parse_candidate(spec)
+        return 0, _fake_result(14.0, batch=b, dtype=d), ""
+
+    monkeypatch.setattr(bench, "_run_child_all", fake_child_all)
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert len(pair_calls) == 1
+    specs = pair_calls[0][pair_calls[0].index("--pair") + 1].split(",")
+    assert bench._parse_candidate(specs[0]) == bench.KNOWN_GOOD
+    assert bench._parse_candidate(specs[1]) == bench.PAIR_EXPLORE
+    oks = [a for a in out["attempts"] if a["ok"]]
+    assert len(oks) >= 2
+    tags = {a["config"] for a in oks}
+    assert "bfloat16/b16/remat=False" in tags
+    assert "bfloat16/b24/remat=True" in tags
+    # headline = best of the measured configs
+    assert out["value"] == 16.1
+
+
+def test_pair_child_killed_midway_keeps_first_result(bench, monkeypatch,
+                                                     capsys):
+    """A pair child killed during config 2 must still deliver config 1's
+    measurement (it was printed before config 2 started)."""
+    def fake_child_all(args, timeout_s):
+        if "--pair" not in args:
+            return 1, [], ""
+        spec1 = args[args.index("--pair") + 1].split(",")[0]
+        res = _fake_result(16.1)
+        res["spec"] = spec1
+        return None, [res], ""  # rc None = parent killed the child
+
+    monkeypatch.setattr(bench, "_run_child_all", fake_child_all)
+    monkeypatch.setattr(
+        bench, "_run_child",
+        lambda args, t: (0, {}, "") if "--extras" in args else (1, None, ""))
+    bench.run_bench(steps=4, warmup=1)
+    out = _last_json_line(capsys)
+    assert out["value"] == 16.1
+    kg = [a for a in out["attempts"]
+          if a["config"] == "bfloat16/b16/remat=False"]
+    assert kg and kg[0]["ok"]
+    b24 = [a for a in out["attempts"]
+           if a["config"] == "bfloat16/b24/remat=True"]
+    assert b24 and not b24[0]["ok"] and "TIMEOUT" in b24[0]["error"]
