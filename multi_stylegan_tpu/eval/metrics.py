@@ -116,6 +116,7 @@ class _MetricBase:
         no_gfp: bool = False,
         latent_dimensions: int = 512,
         seed: int = 0,
+        domain_batched: bool = True,
     ) -> None:
         self.batch_size = batch_size
         self.data_samples = data_samples
@@ -123,6 +124,15 @@ class _MetricBase:
         self.no_gfp = no_gfp
         self.latent_dimensions = latent_dimensions
         self.seed = seed
+        # One jitted program per batch covering ALL domains: timestep
+        # select + domain stack + feature net fused, one dispatch and one
+        # host fetch per batch instead of one per domain.  Per-sample math
+        # (normalize_m1_1_batch is per-sample min-max, the nets use running
+        # stats) makes the stacked features identical to the per-domain
+        # calls (tests/test_eval_metrics.py); on the tunneled axon runtime
+        # the saved dispatch/fetch round trips are the measured win
+        # (PERF.md "Validation-pass batching").
+        self.domain_batched = domain_batched
 
     @property
     def _domains(self):
@@ -162,6 +172,7 @@ class FID(_MetricBase):
                 "inception_path= or set MSG_TPU_INCEPTION_PT"
             )
         self._features = jax.jit(self._feature_fn)
+        self._features_multi = jax.jit(self._multi_feature_fn)
         self.activations_real = None
 
     def _feature_fn(self, frames: jax.Array) -> jax.Array:
@@ -172,6 +183,14 @@ class FID(_MetricBase):
         x = resize_bilinear_antialias(x, (299, 299))
         return self.model.apply({"params": self.params}, x, features_only=True)
 
+    def _multi_feature_fn(self, images: jax.Array, dkeys: jax.Array) -> jax.Array:
+        """All domains in one program: per-domain timestep select, stack
+        along batch, one feature-net forward -> [n_domains*B, 2048]."""
+        frames = jnp.concatenate(
+            [_random_timestep_rgb(images, d, dkeys[j])
+             for j, d in enumerate(self._domains)], axis=0)
+        return self._feature_fn(frames)
+
     def _collect(self, batches, rng: jax.Array):
         acts = {d: [] for d in self._domains}
         count = 0
@@ -181,9 +200,17 @@ class FID(_MetricBase):
             # Independent timestep draw per domain, mirroring the reference's
             # separate torch.randint per channel (validation_metrics.py:246-256).
             dkeys = jax.random.split(kd, len(self._domains))
-            for d, kt in zip(self._domains, dkeys):
-                frames = _random_timestep_rgb(images, d, kt)
-                acts[d].append(np.asarray(jax.device_get(self._features(frames))))
+            if self.domain_batched:
+                feats = np.asarray(jax.device_get(
+                    self._features_multi(images, dkeys)))
+                b = images.shape[0]
+                for j, d in enumerate(self._domains):
+                    acts[d].append(feats[j * b:(j + 1) * b])
+            else:
+                for d, kt in zip(self._domains, dkeys):
+                    frames = _random_timestep_rgb(images, d, kt)
+                    acts[d].append(
+                        np.asarray(jax.device_get(self._features(frames))))
             count += images.shape[0]
             if count >= self.data_samples:
                 break
@@ -225,6 +252,7 @@ class IS(_MetricBase):
                 "inception_path= or set MSG_TPU_INCEPTION_PT"
             )
         self._probs = jax.jit(self._prob_fn)
+        self._probs_multi = jax.jit(self._multi_prob_fn)
 
     def _prob_fn(self, frames: jax.Array) -> jax.Array:
         """IS preprocessing order differs from FID: resize FIRST, then
@@ -234,16 +262,33 @@ class IS(_MetricBase):
         logits = self.model.apply({"params": self.params}, x, features_only=False)
         return jax.nn.softmax(logits, axis=1)
 
+    def _multi_prob_fn(self, images: jax.Array, dkeys: jax.Array) -> jax.Array:
+        """All domains in one program: per-domain timestep select, stack
+        along batch, one forward -> [n_domains*B, 1000] softmax probs."""
+        frames = jnp.concatenate(
+            [_random_timestep_rgb(images, d, dkeys[j])
+             for j, d in enumerate(self._domains)], axis=0)
+        return self._prob_fn(frames)
+
     def __call__(self, generator_apply: Callable, **kwargs):
         rng = jax.random.key(self.seed + 2)
         probs = {d: [] for d in self._domains}
         for images in self._fake_batches(generator_apply, rng):
+            images = _as_local(images)
             rng, kd = jax.random.split(rng)
             # Independent timestep draw per domain (validation_metrics.py:246-256).
             dkeys = jax.random.split(kd, len(self._domains))
-            for d, kt in zip(self._domains, dkeys):
-                frames = _random_timestep_rgb(_as_local(images), d, kt)
-                probs[d].append(np.asarray(jax.device_get(self._probs(frames))))
+            if self.domain_batched:
+                p = np.asarray(jax.device_get(
+                    self._probs_multi(images, dkeys)))
+                b = images.shape[0]
+                for j, d in enumerate(self._domains):
+                    probs[d].append(p[j * b:(j + 1) * b])
+            else:
+                for d, kt in zip(self._domains, dkeys):
+                    frames = _random_timestep_rgb(images, d, kt)
+                    probs[d].append(
+                        np.asarray(jax.device_get(self._probs(frames))))
         scores = []
         for d in self._domains:
             p = np.concatenate(probs[d], axis=0)[: self.data_samples]
@@ -275,7 +320,14 @@ class FVD(_MetricBase):
                 "i3d_path= or set MSG_TPU_I3D_PT"
             )
         self._features = jax.jit(self._feature_fn)
+        self._features_multi = jax.jit(self._multi_feature_fn)
         self.activations_real = None
+
+    def _multi_feature_fn(self, images: jax.Array) -> jax.Array:
+        """All domains in one program: stack the per-domain clips along
+        batch, one I3D forward -> [n_domains*B, 1024]."""
+        clips = jnp.concatenate([images[:, d] for d in self._domains], axis=0)
+        return self._feature_fn(clips)
 
     def _feature_fn(self, clips: jax.Array) -> jax.Array:
         """[B, C=1dom, T, H, W] -> I3D features: replicate to RGB, [-1,1]
@@ -294,10 +346,16 @@ class FVD(_MetricBase):
         count = 0
         for images in batches:
             images = _as_local(images)
-            for d in self._domains:
-                acts[d].append(
-                    np.asarray(jax.device_get(self._features(images[:, d])))
-                )
+            if self.domain_batched:
+                feats = np.asarray(jax.device_get(self._features_multi(images)))
+                b = images.shape[0]
+                for j, d in enumerate(self._domains):
+                    acts[d].append(feats[j * b:(j + 1) * b])
+            else:
+                for d in self._domains:
+                    acts[d].append(
+                        np.asarray(jax.device_get(self._features(images[:, d])))
+                    )
             count += images.shape[0]
             if count >= self.data_samples:
                 break

@@ -172,7 +172,13 @@ def test_fid_timestep_draw_independent_per_domain(monkeypatch, rng):
     monkeypatch.setattr(M, "_random_timestep_rgb", recording)
 
     fid = FID.__new__(FID)
-    M._MetricBase.__init__(fid, batch_size=2, data_samples=16, no_rfp=True)
+    # domain_batched=False: the per-domain dispatch path calls the
+    # monkeypatched _random_timestep_rgb once per domain (the batched path
+    # draws the same per-domain keys but inside one jitted program, where
+    # the recording stub cannot observe them - equality of the two paths is
+    # test_domain_batched_collection_matches_per_domain).
+    M._MetricBase.__init__(fid, batch_size=2, data_samples=16, no_rfp=True,
+                           domain_batched=False)
     fid._features = lambda frames: jnp.zeros((frames.shape[0], 8))
 
     batches = (jnp.asarray(rng.uniform(size=(2, 2, 3, 8, 8)).astype(np.float32))
@@ -189,6 +195,49 @@ def test_fid_timestep_draw_independent_per_domain(monkeypatch, rng):
     assert all(k0 != k1 for k0, k1 in zip(keys[0], keys[1]))
     # and the draws actually differ somewhere (P[all equal] = (1/3)^8)
     assert per_domain[0] != per_domain[1]
+
+
+@pytest.mark.slow
+def test_domain_batched_collection_matches_per_domain():
+    """The fused all-domains program (one dispatch + one host fetch per
+    batch, _MetricBase.domain_batched) must produce the same per-domain
+    activations/probs as the per-domain dispatch path: same per-domain
+    timestep keys, per-sample preprocessing (normalize_m1_1_batch is
+    per-sample min-max), running-stats nets."""
+    from multi_stylegan_tpu.eval import FID, FVD, IS
+
+    rng = np.random.default_rng(7)
+    batches = [rng.uniform(size=(2, 2, 3, 16, 16)).astype(np.float32)
+               for _ in range(2)]
+    common = dict(batch_size=2, data_samples=4, latent_dimensions=8,
+                  allow_random_weights=True)
+
+    fid = FID(**common)
+    fid.domain_batched = True
+    a = fid._collect(iter(map(jnp.asarray, batches)), jax.random.key(3))
+    fid.domain_batched = False
+    b = fid._collect(iter(map(jnp.asarray, batches)), jax.random.key(3))
+    for d in fid._domains:
+        np.testing.assert_allclose(a[d], b[d], rtol=2e-4, atol=1e-5)
+
+    fvd = FVD(**common)
+    fvd.domain_batched = True
+    a = fvd._collect(iter(map(jnp.asarray, batches)))
+    fvd.domain_batched = False
+    b = fvd._collect(iter(map(jnp.asarray, batches)))
+    for d in fvd._domains:
+        np.testing.assert_allclose(a[d], b[d], rtol=2e-4, atol=1e-5)
+
+    is_ = IS(**common)
+
+    def generator_apply(z, z2, rng):
+        return jax.random.uniform(rng, (z.shape[0], 2, 3, 16, 16))
+
+    is_.domain_batched = True
+    s_a = is_(generator_apply=generator_apply)
+    is_.domain_batched = False
+    s_b = is_(generator_apply=generator_apply)
+    np.testing.assert_allclose(s_a, s_b, rtol=1e-4)
 
 
 @pytest.mark.slow
