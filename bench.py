@@ -132,14 +132,18 @@ def _robust_pl(step_fn):
     caller (_measure) charges a measured proxy cost and annotates the JSON."""
     import jax
 
-    from multi_stylegan_tpu.train.robust import make_robust_path_length
+    from multi_stylegan_tpu.train.robust import (
+        make_robust_path_length,
+        pl_chunk_tiers,
+    )
 
     return make_robust_path_length(
         jax.jit(step_fn.path_length_update, donate_argnums=(0,)),
         jax.jit(step_fn.path_length_grads),
         jax.jit(step_fn.path_length_apply, donate_argnums=(0,)),
         chunked_jits=tuple(
-            jax.jit(step_fn.path_length_grads_chunked(n)) for n in (2, 4)
+            jax.jit(step_fn.path_length_grads_chunked(n))
+            for n in pl_chunk_tiers(step_fn.path_length_batch)
         ),
     )
 

@@ -92,6 +92,8 @@ def _robust_pl_step(step_fn, fused_kw=None, grads_kw=None, apply_kw=None):
             RuntimeWarning,
         )
 
+    from multi_stylegan_tpu.train.robust import pl_chunk_tiers
+
     return make_robust_path_length(
         jax.jit(step_fn.path_length_update, **(fused_kw or
                                                dict(donate_argnums=(0,)))),
@@ -101,7 +103,7 @@ def _robust_pl_step(step_fn, fused_kw=None, grads_kw=None, apply_kw=None):
         on_excluded=warn_excluded,
         chunked_jits=tuple(
             jax.jit(step_fn.path_length_grads_chunked(n), **(grads_kw or {}))
-            for n in (2, 4)
+            for n in pl_chunk_tiers(step_fn.path_length_batch)
         ),
     )
 

@@ -10,13 +10,20 @@ those fail, the wrapper excludes the update and notifies the caller, which
 decides policy (the Trainer warns and continues; bench.py charges a
 measured proxy cost and annotates its output).
 
-Fallback triggers on COMPILE failures only: the programs donate their input
-state, so an execution-time failure (e.g. RESOURCE_EXHAUSTED) invalidates
-the caller's buffers and silently reusing them in a fallback tier would
-crash later with a confusing donated-buffer error (advisor round-2).  The
-tiers therefore compile explicitly via ``lower().compile()`` inside the
-guarded region and execute the compiled programs outside it - execution
-errors propagate to the caller.
+Fallback triggers on COMPILE failures, plus — for the non-donating grads
+programs only — on a RESOURCE_EXHAUSTED at execution: compile success does
+not imply the program fits next to the resident training programs' device
+reservations (at batch 24 the 4-chunk grads program compiles but OOMs on
+the chip, round-5 soak), and since the grads tiers do NOT donate their
+input state, the state is still valid after the failed execution and the
+ladder can walk down to a deeper chunking and retry.  The donating
+programs (fused PL, apply) keep the strict compile-only policy: an
+execution failure there invalidates the caller's buffers and silently
+reusing them in a fallback tier would crash later with a confusing
+donated-buffer error (advisor round-2).  Tiers compile explicitly via
+``lower().compile()`` inside the guarded region; grads execution is
+barriered by a scalar host fetch (the only reliable barrier on this
+runtime) so an async device OOM surfaces at the demotion point.
 """
 
 from __future__ import annotations
@@ -25,6 +32,19 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def pl_chunk_tiers(pl_batch: int) -> tuple:
+    """Chunk counts for the tiered path-length grads ladder at a given
+    second-order batch: the proven small tiers (2, 4) plus the deeper
+    half-batch and full-batch (sub-batch 1) chunkings, filtered to
+    divisors.  The deep tiers exist for EXECUTION headroom, not compile
+    size: at batch 24 the 4-chunk grads program compiles but OOMs on the
+    chip next to the split-main programs' reservations (round-5 soak),
+    while sub-batch-1 scanning runs in a fraction of the memory."""
+    cand = {2, 4, pl_batch // 2, pl_batch}
+    return tuple(sorted(n for n in cand
+                        if 2 <= n <= pl_batch and pl_batch % n == 0))
 
 
 def make_robust_path_length(
@@ -61,47 +81,87 @@ def make_robust_path_length(
     """
     mode = {"m": None}
     exe = {}
+    rest = []  # grads-ladder entries BELOW the active tier (for demotion)
+
+    def _grads_ladder():
+        return (("split", grads_jit),) + tuple(
+            (f"chunked{i + 2}", cj) for i, cj in enumerate(chunked_jits)
+        )
+
+    def _compile_grads_tier(state, name, g_jit) -> bool:
+        try:
+            exe["grads"] = g_jit.lower(state).compile()
+            # abstract grads/new_mean for the apply lowering (no execution)
+            out_shapes = jax.eval_shape(g_jit, state)
+            exe["apply"] = apply_jit.lower(
+                state, out_shapes[0], out_shapes[3]
+            ).compile()
+            mode["m"] = name
+            return True
+        except Exception:
+            return False
 
     def prepare(state, start_tier=None) -> str:
         """Compile (tiered, no execution); idempotent."""
         if mode["m"] is not None:
             return mode["m"]
-        grads_ladder = (("split", grads_jit),) + tuple(
-            (f"chunked{i + 2}", cj) for i, cj in enumerate(chunked_jits)
-        )
+        grads_ladder = _grads_ladder()
         names = ("fused",) + tuple(n for n, _ in grads_ladder)
         start = names.index(start_tier) if start_tier in names else 0
         if start == 0:
             try:
                 exe["fused"] = fused_jit.lower(state).compile()
                 mode["m"] = "fused"
+                # a fused-tier EXECUTION failure is unrecoverable (the
+                # program donates state), so no demotion ladder is kept
                 return mode["m"]
             except Exception:
                 pass
-        for name, g_jit in grads_ladder[max(0, start - 1):]:
-            try:
-                exe["grads"] = g_jit.lower(state).compile()
-                # abstract grads/new_mean for the apply lowering (no execution)
-                out_shapes = jax.eval_shape(g_jit, state)
-                exe["apply"] = apply_jit.lower(
-                    state, out_shapes[0], out_shapes[3]
-                ).compile()
-                mode["m"] = name
+        ladder = grads_ladder[max(0, start - 1):]
+        for k, (name, g_jit) in enumerate(ladder):
+            if _compile_grads_tier(state, name, g_jit):
+                rest[:] = list(ladder[k + 1:])
                 return mode["m"]
-            except Exception:
-                continue
         mode["m"] = "excluded"
         if on_excluded is not None:
             on_excluded()
         return mode["m"]
+
+    def _demote(state) -> bool:
+        """Compile the next deeper grads tier, or exclude."""
+        while rest:
+            name, g_jit = rest.pop(0)
+            if _compile_grads_tier(state, name, g_jit):
+                return True
+        mode["m"] = "excluded"
+        if on_excluded is not None:
+            on_excluded()
+        return False
 
     def pl_call(state):
         if mode["m"] is None:
             prepare(state)
         if mode["m"] == "fused":
             return exe["fused"](state)
-        if mode["m"] != "excluded":  # split or chunkedN
+        while mode["m"] != "excluded":  # split or chunkedN
             grads, penalty, pl_len, new_mean = exe["grads"](state)
+            try:
+                # Host fetch = the only real execution barrier on this
+                # runtime (CLAUDE.md): an async device OOM in the grads
+                # program surfaces HERE, while ``state`` is still intact
+                # (the grads program does not donate), so walking down to
+                # a deeper chunked tier and retrying is safe.  Compile
+                # failures alone are not enough to pick the tier: at batch
+                # 24 the 4-chunk program compiles but OOMs at execution
+                # (round-5 soak).
+                float(penalty)
+            except Exception as exc:
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                del grads, new_mean
+                if not _demote(state):
+                    break
+                continue
             state = exe["apply"](state, grads, new_mean)
             return state, penalty, pl_len
         return state, jnp.asarray(0.0), jnp.asarray(0.0)

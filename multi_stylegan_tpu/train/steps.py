@@ -649,4 +649,9 @@ def make_train_step(
     train_step.path_length_grads = path_length_grads
     train_step.path_length_apply = path_length_apply
     train_step.path_length_grads_chunked = path_length_grads_chunked
+    # second-order batch (reference: batch_size_shrink, model_wrapper.py) -
+    # the robust-PL ladder derives its chunk tiers from this
+    train_step.path_length_batch = max(
+        1, int(cfg.batch_size_shrink_path_length_regularization
+               * cfg.batch_size))
     return train_step

@@ -331,6 +331,106 @@ def test_robust_path_length_start_tier_hint():
     assert attempts[0] == "fused"
 
 
+def test_robust_path_length_execution_oom_demotes():
+    """A RESOURCE_EXHAUSTED surfacing at the grads-execution barrier (the
+    program compiled but does not FIT next to the resident training
+    programs - the round-5 b24 soak failure) demotes to the next deeper
+    chunked tier and retries with the caller's state, which is intact
+    because grads tiers never donate; exhaustion excludes."""
+    import jax.numpy as jnp
+
+    from multi_stylegan_tpu.train.robust import make_robust_path_length
+
+    state = jnp.arange(4.0)
+
+    class _OOM:
+        """Scalar whose host fetch raises like an async device OOM."""
+
+        def __float__(self):
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error "
+                               "(ResourceExhausted).")
+
+    def grads_vals(s):
+        return (2.0 * s, jnp.float32(4.0), jnp.float32(5.0), jnp.float32(6.0))
+
+    class FakeJit:
+        """Mimics a jax.jit: traceable __call__ (for jax.eval_shape) plus
+        .lower().compile() returning the runtime callable."""
+
+        def __init__(self, fn, run=None, compile_fails=False):
+            self._fn, self._run = fn, (run or fn)
+            self._compile_fails = compile_fails
+
+        def __call__(self, *a):
+            return self._fn(*a)
+
+        def lower(self, *a, **k):
+            return self
+
+        def compile(self):
+            if self._compile_fails:
+                raise RuntimeError("compile fail")
+            return self._run
+
+    def oom_run(s):
+        g, _, pl_len, m = grads_vals(s)
+        return (g, _OOM(), pl_len, m)
+
+    fused = FakeJit(grads_vals, compile_fails=True)
+    split_oom = FakeJit(grads_vals, run=oom_run)
+    chunk_oom = FakeJit(grads_vals, run=oom_run)
+    chunk_ok = FakeJit(grads_vals)
+    apply_fn = FakeJit(lambda s, g, m: s + g)
+
+    pl = make_robust_path_length(fused, split_oom, apply_fn,
+                                 chunked_jits=(chunk_oom, chunk_ok))
+    out, pen, _ = pl(state)
+    # prepare() picked split (it compiled); execution OOM'd there and at
+    # chunked2; chunked3 ran, with the original state
+    assert pl.mode["m"] == "chunked3"
+    assert float(pen) == 4.0
+    np.testing.assert_allclose(np.asarray(out), 3.0 * np.arange(4.0))
+    # latched: subsequent calls go straight to the working tier
+    out2, pen2, _ = pl(state)
+    assert float(pen2) == 4.0 and pl.mode["m"] == "chunked3"
+
+    # every tier OOMs -> excluded, zeros, state returned unchanged
+    fired = []
+    pl2 = make_robust_path_length(
+        fused, FakeJit(grads_vals, run=oom_run), apply_fn,
+        chunked_jits=(FakeJit(grads_vals, run=oom_run),),
+        on_excluded=lambda: fired.append(1))
+    s2, p2, _ = pl2(state)
+    assert pl2.mode["m"] == "excluded" and fired == [1] and float(p2) == 0.0
+    np.testing.assert_allclose(np.asarray(s2), np.arange(4.0))
+
+    # a non-OOM execution error propagates (no silent demotion)
+    class _Bad:
+        def __float__(self):
+            raise RuntimeError("INTERNAL: something else")
+
+    def bad_run(s):
+        g, _, pl_len, m = grads_vals(s)
+        return (g, _Bad(), pl_len, m)
+
+    pl3 = make_robust_path_length(fused, FakeJit(grads_vals, run=bad_run),
+                                  apply_fn)
+    with pytest.raises(RuntimeError, match="INTERNAL"):
+        pl3(state)
+
+
+def test_pl_chunk_tiers_derivation():
+    """Chunk tiers adapt to the second-order batch: proven small tiers plus
+    the half- and full-batch chunkings, divisors only."""
+    from multi_stylegan_tpu.train.robust import pl_chunk_tiers
+
+    assert pl_chunk_tiers(12) == (2, 4, 6, 12)  # the b24 regime
+    assert pl_chunk_tiers(8) == (2, 4, 8)       # the b16 regime
+    assert pl_chunk_tiers(4) == (2, 4)
+    assert pl_chunk_tiers(2) == (2,)
+    assert pl_chunk_tiers(1) == ()
+
+
 def test_nonfinite_update_guard():
     """A NaN gradient must be skipped, not applied (optax apply_if_finite):
     one bad second-order step poisoned the whole state in the round-2
