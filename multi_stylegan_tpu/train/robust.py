@@ -138,6 +138,8 @@ def make_robust_path_length(
             on_excluded()
         return False
 
+    proven = set()  # grads tiers that executed once (skip the barrier after)
+
     def pl_call(state):
         if mode["m"] is None:
             prepare(state)
@@ -145,23 +147,27 @@ def make_robust_path_length(
             return exe["fused"](state)
         while mode["m"] != "excluded":  # split or chunkedN
             grads, penalty, pl_len, new_mean = exe["grads"](state)
-            try:
-                # Host fetch = the only real execution barrier on this
-                # runtime (CLAUDE.md): an async device OOM in the grads
-                # program surfaces HERE, while ``state`` is still intact
-                # (the grads program does not donate), so walking down to
-                # a deeper chunked tier and retrying is safe.  Compile
-                # failures alone are not enough to pick the tier: at batch
-                # 24 the 4-chunk program compiles but OOMs at execution
-                # (round-5 soak).
-                float(penalty)
-            except Exception as exc:
-                if "RESOURCE_EXHAUSTED" not in str(exc):
-                    raise
-                del grads, new_mean
-                if not _demote(state):
-                    break
-                continue
+            if mode["m"] not in proven:
+                try:
+                    # Host fetch = the only real execution barrier on this
+                    # runtime (CLAUDE.md): an async device OOM in the grads
+                    # program surfaces HERE, while ``state`` is still intact
+                    # (the grads program does not donate), so walking down
+                    # to a deeper chunked tier and retrying is safe.
+                    # Compile failures alone are not enough to pick the
+                    # tier: at batch 24 the 4-chunk program compiles but
+                    # OOMs at execution (round-5 soak).  Once a tier has
+                    # executed, the barrier is skipped - steady-state calls
+                    # stay fully asynchronous.
+                    float(penalty)
+                except Exception as exc:
+                    if "RESOURCE_EXHAUSTED" not in str(exc):
+                        raise
+                    del grads, new_mean
+                    if not _demote(state):
+                        break
+                    continue
+                proven.add(mode["m"])
             state = exe["apply"](state, grads, new_mean)
             return state, penalty, pl_len
         return state, jnp.asarray(0.0), jnp.asarray(0.0)
