@@ -45,6 +45,7 @@ import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 # remat field: False = none, True = every block, int = selective (only
@@ -673,27 +674,78 @@ def _parse_json_lines(out: str) -> list:
     return parsed
 
 
-def _run_child_all(args: list[str], timeout_s: float):
+# Test seam: when set, replaces [sys.executable, bench.py] as the child
+# command prefix so the streaming/deadline supervisor can be exercised
+# against a scripted child (tests/test_bench.py).
+_CHILD_CMD: list[str] | None = None
+
+
+def _run_child_all(args: list[str], timeout_s: float,
+                   extend_to_s: float | None = None):
     """Run a bounded bench subprocess; return (rc, [parsed JSON lines],
     stderr tail).  rc is None on timeout-kill, but any JSON lines the child
     printed before dying are still parsed — a pair child killed during its
-    second config keeps its first result."""
+    second config keeps its first result.
+
+    ``extend_to_s``: stdout is streamed, and as soon as the child prints a
+    JSON line with ``"ok": true`` the kill deadline extends to this many
+    seconds from child start.  Rationale (round-5 sanity run): the RESERVE
+    kept for the emergency-rescue path is only needed while NOTHING has
+    been measured; holding it after the known-good headline was already on
+    stdout cost the pair child its b24 half ("pair budget exhausted,
+    123s left" while 240 s sat in reserve)."""
     global _current_child
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__)] + args,
+        (_CHILD_CMD or [sys.executable, os.path.abspath(__file__)]) + args,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     _current_child = proc
+    start = time.monotonic()
+    deadline = {"t": start + max(1.0, timeout_s)}
+    out_lines: list[str] = []
+    err_tail: list[str] = []
+
+    def _watch_stdout():
+        for line in proc.stdout:
+            out_lines.append(line)
+            if extend_to_s is None:
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and obj.get("ok"):
+                deadline["t"] = max(deadline["t"], start + extend_to_s)
+
+    def _drain_stderr():
+        # must be drained or a warning-happy child blocks on a full pipe
+        while True:
+            chunk = proc.stderr.read(65536)
+            if not chunk:
+                return
+            err_tail.append(chunk)
+            del err_tail[:-4]
+
+    threads = [threading.Thread(target=_watch_stdout, daemon=True),
+               threading.Thread(target=_drain_stderr, daemon=True)]
+    for t in threads:
+        t.start()
     rc = None
     try:
-        out, err = proc.communicate(timeout=max(1.0, timeout_s))
-        rc = proc.returncode
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        out, err = proc.communicate()
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                break
+            if time.monotonic() >= deadline["t"]:
+                proc.kill()
+                proc.wait()
+                break
+            time.sleep(0.25)
+        for t in threads:
+            t.join(timeout=15.0)
     finally:
         _current_child = None
-    return rc, _parse_json_lines(out), (err or "")[-300:]
+    return rc, _parse_json_lines("".join(out_lines)), "".join(err_tail)[-300:]
 
 
 def _run_child(args: list[str], timeout_s: float):
@@ -808,21 +860,29 @@ class _Bench:
                 pass
         return True
 
-    def attempt_pair(self, cands, timeout_s: float) -> bool:
+    def attempt_pair(self, cands, timeout_s: float,
+                     extend_to_s: float | None = None) -> bool:
         """Measure several candidates in ONE child process (one device-init
         handshake, PERF.md "Bench delivery pipeline").  Records one attempt
         row per candidate; returns True iff the FIRST candidate (the
-        known-good headline config) measured ok."""
+        known-good headline config) measured ok.
+
+        ``extend_to_s``: once config 1's ok line is on stdout the headline
+        is safe, so the kill deadline (and the child's self-truncation
+        budget) extends past the emergency reserve — that reserve exists
+        only for the nothing-measured-yet case."""
         specs = [f"{d}:{b}:{r}" for d, b, r in cands]
         tags = {s: f"{d}/b{b}/remat={r}" for s, (d, b, r)
                 in zip(specs, cands)}
         t_a = time.monotonic()
+        budget_from = extend_to_s if extend_to_s is not None else timeout_s
         args = ["--pair", ",".join(specs),
                 "--steps", str(self.steps), "--warmup", str(self.warmup),
                 "--budget_s",
-                str(max(1, min(int(timeout_s - 15),
-                               max(60, int(timeout_s - 45)))))]
-        rc, results, err = _run_child_all(args, timeout_s)
+                str(max(1, min(int(budget_from - 15),
+                               max(60, int(budget_from - 45)))))]
+        rc, results, err = _run_child_all(args, timeout_s,
+                                          extend_to_s=extend_to_s)
         wall = round(time.monotonic() - t_a, 1)
         by_spec = {r.get("spec"): r for r in results if isinstance(r, dict)}
         first_ok = False
@@ -926,7 +986,8 @@ def run_bench(steps: int = 16, warmup: int = 2) -> None:
         # Child timeouts are always clamped by the remaining budget: the
         # internal deadline must hold even when a floor would exceed it.
         if bench.attempt_pair((KNOWN_GOOD, PAIR_EXPLORE),
-                              max(1.0, bench.remaining() - RESERVE_S)):
+                              max(1.0, bench.remaining() - RESERVE_S),
+                              extend_to_s=max(1.0, bench.remaining() - 90.0)):
             # Healthy runtime: spend any leftover budget on the remaining
             # EXPLORE configs (the pair already covered PAIR_EXPLORE).
             measured = {a["config"] for a in bench.attempts if a.get("ok")}

@@ -42,7 +42,7 @@ def bench(monkeypatch, tmp_path):
     # boundary they always have.
     real_run_child_all = mod._run_child_all
 
-    def pair_via_one(args, timeout_s):
+    def pair_via_one(args, timeout_s, extend_to_s=None):
         if "--pair" not in args:
             return real_run_child_all(args, timeout_s)
         i = args.index("--pair")
@@ -55,7 +55,10 @@ def bench(monkeypatch, tmp_path):
                 results.append({"ok": False, "spec": spec,
                                 "error": "skipped: first pair config failed"})
                 continue
-            rc1, r, err = mod._run_child(["--one", spec, *rest], timeout_s)
+            # pair children effectively run under the extended deadline
+            # (their --budget_s is derived from it) once config 1 is ok
+            rc1, r, err = mod._run_child(["--one", spec, *rest],
+                                         extend_to_s or timeout_s)
             if rc1 is None:
                 return None, results, err
             rc = rc1
@@ -253,7 +256,7 @@ def test_sigterm_prints_best_so_far_and_exits_zero():
         f"spec = importlib.util.spec_from_file_location('b', {os.path.join(_REPO, 'bench.py')!r})\n"
         "b = importlib.util.module_from_spec(spec); spec.loader.exec_module(b)\n"
         "b._wait_for_runtime = lambda s: None\n"
-        "def hang(args, timeout_s):\n"
+        "def hang(args, timeout_s, extend_to_s=None):\n"
         "    print('CHILD_STARTED', file=sys.stderr, flush=True)\n"
         "    time.sleep(3600)\n"
         "b._run_child = hang\n"
@@ -469,6 +472,57 @@ def test_emergency_child_budget_never_exceeds_timeout(bench, monkeypatch,
         60, int(timeout_s - 45))
 
 
+def test_run_child_all_streams_and_extends_deadline():
+    """The child supervisor streams stdout and extends the kill deadline
+    once a JSON line with ok:true appears (round-5: the pair child's b24
+    half was killed while the emergency reserve sat idle).  Without the
+    extension the child is killed mid-sleep and its first line is kept."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_stream_test", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    child = (
+        "import json, sys, time\n"
+        "print(json.dumps({'ok': True, 'v': 1})); sys.stdout.flush()\n"
+        "time.sleep({sleep})\n"
+        "print(json.dumps({'ok': True, 'v': 2})); sys.stdout.flush()\n"
+    )
+    # no extension: killed during the sleep; the first line survives
+    mod._CHILD_CMD = [sys.executable, "-u", "-c",
+                      child.replace("{sleep}", "30")]
+    rc, parsed, _ = mod._run_child_all([], timeout_s=10.0)
+    assert rc is None
+    assert [p["v"] for p in parsed] == [1]
+
+    # with extension: the ok line pushes the deadline out and the child
+    # finishes normally even though its sleep overruns the initial timeout
+    mod._CHILD_CMD = [sys.executable, "-u", "-c",
+                      child.replace("{sleep}", "8")]
+    rc, parsed, _ = mod._run_child_all([], timeout_s=10.0, extend_to_s=60.0)
+    assert rc == 0
+    assert [p["v"] for p in parsed] == [1, 2]
+
+
+def test_attempt_pair_budget_follows_extension(bench, monkeypatch):
+    """attempt_pair forwards extend_to_s to the supervisor and computes the
+    child's self-truncation budget from the EXTENDED deadline, so the
+    child does not skip its second config against the unextended one."""
+    seen = {}
+
+    def fake(args, timeout_s, extend_to_s=None):
+        seen.update(args=args, timeout=timeout_s, extend=extend_to_s)
+        return 0, [], ""
+
+    monkeypatch.setattr(bench, "_run_child_all", fake)
+    b = bench._Bench(4, 1)
+    b.attempt_pair((bench.KNOWN_GOOD, bench.PAIR_EXPLORE), 600.0,
+                   extend_to_s=900.0)
+    assert seen["timeout"] == 600.0 and seen["extend"] == 900.0
+    budget = float(seen["args"][seen["args"].index("--budget_s") + 1])
+    assert budget == 855.0  # 900 - 45, not 600 - 45
+
+
 def test_pair_child_delivers_two_measured_attempts(bench, monkeypatch,
                                                    capsys):
     """The round-5 delivery contract (VERDICT r4 item 3): one pair child
@@ -477,7 +531,7 @@ def test_pair_child_delivers_two_measured_attempts(bench, monkeypatch,
     handshakes."""
     pair_calls = []
 
-    def fake_child_all(args, timeout_s):
+    def fake_child_all(args, timeout_s, extend_to_s=None):
         if "--pair" not in args:
             return 1, [], ""
         pair_calls.append(list(args))
@@ -518,7 +572,7 @@ def test_pair_child_killed_midway_keeps_first_result(bench, monkeypatch,
                                                      capsys):
     """A pair child killed during config 2 must still deliver config 1's
     measurement (it was printed before config 2 started)."""
-    def fake_child_all(args, timeout_s):
+    def fake_child_all(args, timeout_s, extend_to_s=None):
         if "--pair" not in args:
             return 1, [], ""
         spec1 = args[args.index("--pair") + 1].split(",")[0]
