@@ -17,14 +17,16 @@ import jax
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache (works for XLA:CPU too): the fast tier is
-# dominated by recompiles of the same fused-train-step programs on a 1-core
-# box (~30 of the ~55 min round-4 wall); a warm cache turns those into
-# loads.  Opt out with MSG_TPU_NO_TEST_CACHE=1 (e.g. to time cold compiles).
-if not os.environ.get("MSG_TPU_NO_TEST_CACHE"):
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("MSG_TPU_TEST_CACHE", "/root/.jax_cache"))
+# Persistent compilation cache for the fast tier — OPT-IN ONLY
+# (MSG_TPU_TEST_CACHE=<dir>): a warm cache cuts the heaviest equivalence
+# test 329s -> 128s, but XLA:CPU AOT cache entries record host "machine
+# features" that can mismatch across processes in this environment
+# (cpu_aot_loader: "could lead to execution errors such as SIGILL"), and
+# one such load hard-aborted the suite mid-test (round 5).  A flaky
+# SIGABRT is worse than a slow suite; do not enable by default.
+if os.environ.get("MSG_TPU_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["MSG_TPU_TEST_CACHE"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

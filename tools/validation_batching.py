@@ -47,7 +47,11 @@ def main() -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    if args.platform != "cpu":
+        # the persistent cache is for the TPU path; XLA:CPU AOT
+        # entries can hard-abort on machine-feature mismatch
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.jax_cache")
 
     from multi_stylegan_tpu.data import BatchLoader, SyntheticTLFMDataset
     from multi_stylegan_tpu.eval import FID, FVD, IS
