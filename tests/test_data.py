@@ -132,6 +132,9 @@ def test_trap_weights_map():
         make_trap_weights_map(inside_weight=-1.0)
 
 
+@pytest.mark.slow  # ~6 min: two full train-step compiles; the cheap
+# finiteness variant (test_train_step.test_trap_weight_map_variant)
+# stays in the fast tier
 def test_trap_weights_map_through_train_step():
     """End-to-end: the built map routes through the pixel losses when the
     trap_weight flag is on and changes them (reference

@@ -477,6 +477,7 @@ def test_ada_state_nonfinite_r_dropped():
     assert float(s.p) > 0.05  # r above target: p stepped up
 
 
+@pytest.mark.slow  # ~4 min: three full main-program compiles
 def test_robust_main_step_split_fallback():
     """The Trainer's robust main wrapper falls back to the bit-identical
     split D/G programs when the fused compile fails, latches the tier, and
