@@ -82,6 +82,11 @@ def make_robust_path_length(
     mode = {"m": None}
     exe = {}
     rest = []  # grads-ladder entries BELOW the active tier (for demotion)
+    # Excluded-path zeros, allocated ONCE while the device is healthy: after
+    # an execution OOM the allocator can be left wedged enough that even a
+    # fresh scalar allocation raises (round-5 soak: jnp.asarray(0.0) itself
+    # RESOURCE_EXHAUSTED'd on the excluded return).
+    zeros = {}
 
     def _grads_ladder():
         return (("split", grads_jit),) + tuple(
@@ -143,6 +148,11 @@ def make_robust_path_length(
     def pl_call(state):
         if mode["m"] is None:
             prepare(state)
+        if "z" not in zeros:
+            try:
+                zeros["z"] = jnp.zeros(())
+            except Exception:
+                pass
         if mode["m"] == "fused":
             return exe["fused"](state)
         while mode["m"] != "excluded":  # split or chunkedN
@@ -170,7 +180,10 @@ def make_robust_path_length(
                 proven.add(mode["m"])
             state = exe["apply"](state, grads, new_mean)
             return state, penalty, pl_len
-        return state, jnp.asarray(0.0), jnp.asarray(0.0)
+        z = zeros.get("z")
+        if z is None:
+            z = jnp.asarray(0.0)
+        return state, z, z
 
     def flops() -> Optional[float]:
         def cost(compiled) -> float:

@@ -89,6 +89,14 @@ def main() -> None:
                          "proves the pipeline, VALIDATION.json proves scale).")
     ap.add_argument("--val_batch", type=int, default=8)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--pl_start_tier", default=None,
+                    help="Pin the path-length ladder's start tier (e.g. "
+                         "'chunked5' = full chunking at b24).  The probe "
+                         "(tools/probe_b24_regs.py) shows every PL tier "
+                         "executing at b24 in isolation, but in the full "
+                         "Trainer context the shallow chunk tiers OOM'd and "
+                         "the first OOM can wedge the allocator - starting "
+                         "at a tier that FITS avoids ever OOMing.")
     ap.add_argument("--tiny", action="store_true",
                     help="32px debug config (tool smoke test).")
     args = ap.parse_args()
@@ -173,9 +181,19 @@ def main() -> None:
         logger = Logger(experiment_path=os.path.join(args.workdir, tag))
         val = tuple(_guarded(m(**metrics_kw), events)
                     for m in (FID, FVD, IS))
-        return Trainer(generator, discriminator, cfg, training_dataset=loader,
-                       data_logger=logger, validation_metrics=val, mesh=mesh,
-                       checkpoint_dir=ckpt_dir, epochs=epochs)
+        trainer = Trainer(generator, discriminator, cfg,
+                          training_dataset=loader, data_logger=logger,
+                          validation_metrics=val, mesh=mesh,
+                          checkpoint_dir=ckpt_dir, epochs=epochs)
+        if args.pl_start_tier:
+            # eval_shape (NOT io.checkpoint.abstract_template, which yields
+            # the raw uint32[2] key representation and mis-keys the AOT
+            # signature) preserves the typed key<fry> aval
+            abstract = jax.eval_shape(lambda s: s, trainer.state)
+            tier = trainer.pl_step.prepare(abstract,
+                                           start_tier=args.pl_start_tier)
+            events.append({"event": f"{tag} pl tier pinned", "tier": tier})
+        return trainer
 
     def harvest(trainer, tag, wall_s):
         m = trainer.logger.metrics
