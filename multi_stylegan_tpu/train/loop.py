@@ -398,7 +398,23 @@ class Trainer:
             self.logger.log_metric("seqs_per_sec", n_seqs / max(dt, 1e-9))
             telemetry.step()
 
-            self._save_sample_grids(epoch)
+            # End-of-epoch auxiliaries degrade LOUDLY instead of killing a
+            # long run: on this runtime a transient device OOM can surface
+            # in the grid-sample fetch or orbax's state fetch (round-5 b24
+            # soak died in ckpt.save at step 480 after two earlier crashed
+            # clients had leaked device memory).  The training programs
+            # themselves stay fatal - their failure poisons the state.
+            try:
+                self._save_sample_grids(epoch)
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"sample-grid save failed at epoch {epoch + 1} "
+                    f"({type(exc).__name__}: {str(exc)[:200]}); training "
+                    "continues without this epoch's grids.",
+                    RuntimeWarning,
+                )
             if (epoch + 1) % cfg.validate_every_n_epochs == 0:
                 self.validation()
             if self._is_main:
@@ -407,7 +423,19 @@ class Trainer:
                 from multi_stylegan_tpu.parallel import process_barrier
 
                 process_barrier(f"ckpt_save_{epoch}")  # orbax multi-host sync
-                self.ckpt.save(int(jax.device_get(self.state.step)), self.state)
+                try:
+                    self.ckpt.save(
+                        int(jax.device_get(self.state.step)), self.state)
+                except Exception as exc:
+                    import warnings
+
+                    warnings.warn(
+                        f"checkpoint save failed at epoch {epoch + 1} "
+                        f"({type(exc).__name__}: {str(exc)[:200]}); training "
+                        "continues - the previous checkpoint remains the "
+                        "restore point.",
+                        RuntimeWarning,
+                    )
         if self._profiling:  # run shorter than the profile window
             jax.profiler.stop_trace()
             self._profiling = False

@@ -142,6 +142,17 @@ def main() -> None:
     half = args.epochs // 2
 
     events = []
+    # surface Trainer RuntimeWarnings (guarded ckpt/grid failures, PL
+    # exclusion) in the artifact, not only on stderr
+    import warnings
+
+    _orig_show = warnings.showwarning
+
+    def _warn_hook(message, category, filename, lineno, file=None, line=None):
+        events.append({"event": "warning", "message": str(message)[:300]})
+        _orig_show(message, category, filename, lineno, file, line)
+
+    warnings.showwarning = _warn_hook
     report = {
         "config": {"batch": args.batch, "dtype": args.dtype,
                    "resolution": list(gcfg.resolution),
@@ -235,6 +246,10 @@ def main() -> None:
     events.append({"event": "latest checkpoint", "step": saved_step})
     trainer.ckpt.close()
     del trainer
+    # partial artifact: a phase-B crash must not erase phase A's evidence
+    report["partial"] = "phase A complete"
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
 
     # ----------------------------------------------------------- phase B
     # The reference resume workflow: a NEW process/Trainer restores the
@@ -266,7 +281,11 @@ def main() -> None:
     report["final_step"] = int(jax.device_get(trainer.state.step))
     trainer.ckpt.close()
 
-    expected = args.epochs * args.steps_per_epoch
+    # phase B replays from the last SUCCESSFUL checkpoint (a guarded save
+    # failure means restoring earlier), so the expected final step is
+    # restore point + phase-B work, not necessarily epochs*steps_per_epoch
+    expected = (saved_step or 0) + (args.epochs - half) * args.steps_per_epoch
+    report.pop("partial", None)
     report["total_steps"] = steps_a + steps_b
     report["ok"] = (not report["nan_metrics"] and not bad_params
                     and report["final_step"] == expected)
