@@ -30,7 +30,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, extra_args=(), timeout=900, nproc=2,
+def _run_workers(tmp_path, extra_args=(), timeout=1800, nproc=2,
                  devices_per_proc=2):
     port = _free_port()
     env = dict(os.environ)
@@ -124,7 +124,7 @@ def test_cli_train_two_processes(tmp_path):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1500)
+            out, _ = p.communicate(timeout=2700)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -176,7 +176,7 @@ def test_two_process_validation_matches_single_process(tmp_path):
     FID + FVD (random weights) must produce identical scores on both
     controllers AND match a single-process run over the same data."""
     results = _run_workers(tmp_path, extra_args=("--validation",),
-                           timeout=1500)
+                           timeout=2700)
     np.testing.assert_allclose(results[0]["fid"], results[1]["fid"],
                                rtol=1e-5)
     np.testing.assert_allclose(results[0]["fvd"], results[1]["fvd"],
@@ -233,7 +233,7 @@ def test_four_process_step_matches_single_process(tmp_path):
     all-branches-on step must be process-count-invariant: every controller
     reports the identical replicated result, and it matches the
     single-process program."""
-    results = _run_workers(tmp_path, nproc=4, timeout=1500)
+    results = _run_workers(tmp_path, nproc=4, timeout=2700)
 
     for other in results[1:]:
         for k, v in results[0]["metrics"].items():
@@ -265,7 +265,7 @@ def test_four_process_validation_matches_single_process(tmp_path):
     non-addressable shards) at 4 processes: per = batch/4 = 1 sample per
     host, the smallest legal slice."""
     results = _run_workers(tmp_path, extra_args=("--validation",),
-                           nproc=4, timeout=1500)
+                           nproc=4, timeout=2700)
     for other in results[1:]:
         np.testing.assert_allclose(results[0]["fid"], other["fid"],
                                    rtol=1e-5)
