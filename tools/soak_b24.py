@@ -99,7 +99,28 @@ def main() -> None:
                          "at a tier that FITS avoids ever OOMing.")
     ap.add_argument("--tiny", action="store_true",
                     help="32px debug config (tool smoke test).")
+    ap.add_argument("--phase", default="both", choices=("both", "a", "b"),
+                    help="'both' runs phase A and phase B as SEPARATE "
+                         "processes: the reference's actual resume workflow "
+                         "(a new process restores the checkpoint), and the "
+                         "only way phase A's device memory is fully "
+                         "released before phase B allocates its fresh "
+                         "state (round-5: in-process phase B OOM'd at "
+                         "optimizer-moment init).")
     args = ap.parse_args()
+
+    if args.phase == "both":
+        import subprocess
+
+        argv = sys.argv[1:]
+        for ph in ("a", "b"):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   *[a for a in argv if a not in ("--phase", "both")],
+                   "--phase", ph]
+            rc = subprocess.call(cmd)
+            if rc != 0:
+                sys.exit(rc)
+        return
 
     import jax
     import numpy as np
@@ -137,7 +158,8 @@ def main() -> None:
         dcfg = DiscriminatorConfig(no_rfp=True, compute_dtype=args.dtype,
                                    **remat_kw)
 
-    shutil.rmtree(args.workdir, ignore_errors=True)
+    if args.phase == "a":
+        shutil.rmtree(args.workdir, ignore_errors=True)
     ckpt_dir = os.path.join(args.workdir, "ckpt")
     half = args.epochs // 2
 
@@ -153,18 +175,25 @@ def main() -> None:
         _orig_show(message, category, filename, lineno, file, line)
 
     warnings.showwarning = _warn_hook
-    report = {
-        "config": {"batch": args.batch, "dtype": args.dtype,
-                   "resolution": list(gcfg.resolution),
-                   "remat": "full", "epochs": args.epochs,
-                   "steps_per_epoch": args.steps_per_epoch,
-                   "fixture": "teacher",
-                   "val_samples": args.val_samples},
-        "device": jax.devices()[0].device_kind,
-        "events": events,
-        "nan_metrics": [],
-        "ok": False,
-    }
+    if args.phase == "b" and os.path.exists(args.out):
+        # continue the phase-A report (fresh process, same artifact)
+        with open(args.out) as f:
+            report = json.load(f)
+        events.extend(report.get("events", ()))
+        report["events"] = events
+    else:
+        report = {
+            "config": {"batch": args.batch, "dtype": args.dtype,
+                       "resolution": list(gcfg.resolution),
+                       "remat": "full", "epochs": args.epochs,
+                       "steps_per_epoch": args.steps_per_epoch,
+                       "fixture": "teacher",
+                       "val_samples": args.val_samples},
+            "device": jax.devices()[0].device_kind,
+            "events": events,
+            "nan_metrics": [],
+            "ok": False,
+        }
 
     fixture = TeacherTLFMDataset(
         n_samples=args.batch * args.steps_per_epoch,
@@ -230,34 +259,43 @@ def main() -> None:
         return steps
 
     # ----------------------------------------------------------- phase A
-    t0 = time.perf_counter()
-    trainer = build_trainer(resume=False, epochs=half, tag="phase_a")
-    events.append({"event": "phase A start",
-                   "main_mode": trainer.main_step.mode()})
-    trainer.train()
-    events.append({"event": "phase A done",
-                   "main_mode": trainer.main_step.mode(),
-                   # 'fused'/'split'/'chunkedN' = PL firing; 'excluded' =
-                   # the degraded compile helper rejected every second-order
-                   # tier and training continued without it (train/robust.py)
-                   "pl_mode": trainer.pl_step.mode["m"]})
-    steps_a = harvest(trainer, "phase_a", time.perf_counter() - t0)
-    saved_step = trainer.ckpt.latest_step()
-    events.append({"event": "latest checkpoint", "step": saved_step})
-    trainer.ckpt.close()
-    del trainer
-    # partial artifact: a phase-B crash must not erase phase A's evidence
-    report["partial"] = "phase A complete"
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    if args.phase == "a":
+        t0 = time.perf_counter()
+        trainer = build_trainer(resume=False, epochs=half, tag="phase_a")
+        events.append({"event": "phase A start",
+                       "main_mode": trainer.main_step.mode()})
+        trainer.train()
+        events.append({"event": "phase A done",
+                       "main_mode": trainer.main_step.mode(),
+                       # 'fused'/'split'/'chunkedN' = PL firing; 'excluded'
+                       # = the degraded compile helper rejected every
+                       # second-order tier and training continued without
+                       # it (train/robust.py)
+                       "pl_mode": trainer.pl_step.mode["m"]})
+        harvest(trainer, "phase_a", time.perf_counter() - t0)
+        saved_step = trainer.ckpt.latest_step()
+        events.append({"event": "latest checkpoint", "step": saved_step})
+        trainer.ckpt.close()
+        # partial artifact: a phase-B crash must not erase phase A's
+        # evidence; phase B (a fresh process) continues from this file
+        report["partial"] = "phase A complete"
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({"phase": "a", "steps": report["phase_a"]["steps"],
+                          "checkpoint": saved_step}))
+        return
 
     # ----------------------------------------------------------- phase B
-    # The reference resume workflow: a NEW process/Trainer restores the
+    # The reference resume workflow, literally: a NEW process restores the
     # checkpoint and continues under the resume schedules (cut-mix p=0.5,
     # wrong-order on, top-k collapsed - model_wrapper.py:121-123, 272, 331).
+    # A fresh process is also the only way phase A's device memory is fully
+    # released before this phase allocates its own state.
+    steps_a = (report.get("phase_a") or {}).get("steps", 0)
     t0 = time.perf_counter()
     trainer = build_trainer(resume=True, epochs=args.epochs - half,
                             tag="phase_b")
+    saved_step = trainer.ckpt.latest_step()
     restored = trainer.restore_latest()
     assert restored, "phase B found no checkpoint to restore"
     got = int(jax.device_get(trainer.state.step))
